@@ -1,0 +1,143 @@
+"""Run configuration ("namelist") for the TPU dycore.
+
+Mirrors the MPAS namelist.atmosphere `config_*` names (the reference hardcodes
+these as Lua constants, /root/reference/constants.rg:40-104); here they form a
+real config layer: a frozen dataclass usable as a static argument to jitted
+step functions, constructible from dicts / JSON / simple "name = value" files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class Namelist:
+    # --- time integration (Registry.xml nhyd_model defaults) ---
+    config_dt: float = 720.0
+    config_number_of_sub_steps: int = 2
+    config_dynamics_split_steps: int = 1      # MPAS default 3; reference uses 1
+    config_epssm: float = 0.1                 # off-centering, acoustic solve
+    config_smdiv: float = 0.1                 # divergence damping coefficient
+    config_time_integration_order: int = 3    # SRK3
+
+    # --- advection ---
+    config_theta_adv_order: int = 3
+    config_w_adv_order: int = 3
+    config_u_vadv_order: int = 3
+    config_coef_3rd_order: float = 0.25
+
+    # --- mixing / dissipation ---
+    config_horiz_mixing: str = "2d_smagorinsky"   # or "2d_fixed"
+    config_len_disp: float = 120000.0
+    config_smagorinsky_coef: float = 0.125
+    config_visc4_2dsmag: float = 0.05
+    config_del4u_div_factor: float = 10.0
+    config_h_mom_eddy_visc2: float = 0.0
+    config_h_mom_eddy_visc4: float = 0.0
+    config_v_mom_eddy_visc2: float = 0.0
+    config_h_theta_eddy_visc2: float = 0.0
+    config_h_theta_eddy_visc4: float = 0.0
+    config_v_theta_eddy_visc2: float = 0.0
+    config_mix_full: bool = False
+    config_mpas_cam_coef: float = 0.0
+    config_h_ScaleWithMesh: bool = False
+
+    # --- damping layers ---
+    config_zd: float = 22000.0                # w-damping layer base height [m]
+    config_xnutr: float = 0.2                 # w-damping coefficient
+    config_rayleigh_damp_u: bool = False
+    config_number_rayleigh_damp_u_levels: int = 6
+    config_rayleigh_damp_u_timescale_days: float = 5.0
+
+    # --- moisture / scalars ---
+    config_moisture: bool = False
+    config_scalar_advection: bool = False
+
+    # --- diagnostics/printing (constants.rg:67-69) ---
+    config_print_detailed_minmax_vel: bool = False
+    config_print_global_minmax_vel: bool = False
+    config_print_global_minmax_sca: bool = False
+
+    # --- regional / specified zone (global runs: masks all zero) ---
+    config_apply_lbcs: bool = False
+    nRelaxZone: int = 5
+
+    # --- vertical grid (init_atm_cases.rg:165-167) ---
+    config_nvertlevels: int = 26
+    config_ztop: float = 30000.0
+    config_vertical_stretch: float = 1.5
+
+    # --- initial condition ---
+    config_init_case: int = 2                 # 2 = JW baroclinic wave + u perturbation
+    config_jw_u_perturbation: float = 1.0
+
+    # --- run control ---
+    config_run_duration_steps: int = 10
+    config_output_interval_steps: int = 10
+
+    # --- numerics ---
+    dtype: str = "float32"                    # state dtype on device
+    index_dtype: str = "int32"
+
+    # --- optional physics/numerics toggles (MPAS #ifdef CURVATURE etc.) ---
+    config_curvature: bool = True             # spherical curvature terms
+    config_divergence_damping: bool = True    # 3-D divergence damping
+    config_smagorinsky: bool = True           # horizontal Smagorinsky/del4 mixing
+
+    def replace(self, **kw) -> "Namelist":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Namelist":
+        names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - names
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Namelist":
+        """Load from a JSON file or a simple 'name = value' namelist file."""
+        text = open(path).read()
+        try:
+            return cls.from_dict(json.loads(text))
+        except json.JSONDecodeError:
+            pass
+        d = {}
+        for line in text.splitlines():
+            line = line.split("#")[0].split("!")[0].strip()
+            if not line or "=" not in line:
+                continue
+            k, v = (s.strip() for s in line.split("=", 1))
+            v = v.strip("'\"")
+            if v.lower() in ("true", ".true."):
+                v = True
+            elif v.lower() in ("false", ".false."):
+                v = False
+            else:
+                try:
+                    v = int(v)
+                except ValueError:
+                    try:
+                        v = float(v)
+                    except ValueError:
+                        pass
+            d[k] = v
+        return cls.from_dict(d)
+
+
+# The reference run configuration (constants.rg:12-26,60,99): x1.2562 mesh,
+# 5 levels, dt=720s, 10 steps, 16 partitions.
+REFERENCE_NAMELIST = Namelist(
+    config_nvertlevels=5,
+    config_ztop=45000.0,
+    config_dt=720.0,
+    config_run_duration_steps=10,
+)

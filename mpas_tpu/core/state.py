@@ -1,0 +1,255 @@
+"""Model state as JAX pytrees of dense arrays.
+
+TPU-first redesign of the reference's array-of-structs field spaces
+(data_structures.rg:10-639): every field is a dense array with the element
+index (cell/edge/vertex) major and the vertical level minor, so horizontal
+stencils are row gathers and vertical operators are cheap minor-axis shifts.
+
+Array shape conventions (C=nCells, E=nEdges, V=nVertices, K=nVertLevels):
+  cell fields      [C, K]     (mass levels)    e.g. theta_m, rho_zz
+  cell w-fields    [C, K+1]   (interfaces)     e.g. w, rw, zgrid
+  edge fields      [E, K]                      e.g. u, ru
+  vertex fields    [V, K]                      e.g. vorticity
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..mesh.loader import Mesh
+from ..mesh import coefficients as mcoef
+from ..core.vertical import VerticalGrid
+
+
+@struct.dataclass
+class MeshArrays:
+    """Static horizontal mesh on device: adjacency + geometry + precomputed
+    stencil coefficients.  (Replaces cell_fs/edge_fs/vertex_fs topology fields
+    and the init-time coefficient tasks, SURVEY.md sections 2.1/2.3.)"""
+
+    # adjacency (int32) and masks
+    cellsOnEdge: Any          # [E, 2]
+    verticesOnEdge: Any       # [E, 2]
+    edgesOnCell: Any          # [C, M]
+    cellsOnCell: Any          # [C, M]
+    verticesOnCell: Any       # [C, M]
+    edgesOnCell_mask: Any     # [C, M]
+    edgesOnCellSign: Any      # [C, M]
+    cellsOnVertex: Any        # [V, D]
+    edgesOnVertex: Any        # [V, D]
+    edgesOnVertexSign: Any    # [V, D]
+    edgesOnEdge: Any          # [E, W2]
+    edgesOnEdge_mask: Any     # [E, W2]
+    weightsOnEdge: Any        # [E, W2]
+    kiteForCell: Any          # [C, M]
+    kiteAreasOnVertex: Any    # [V, D]
+
+    # geometry
+    latCell: Any              # [C]
+    lonCell: Any
+    latEdge: Any              # [E]
+    lonEdge: Any
+    angleEdge: Any            # [E]
+    dvEdge: Any               # [E]
+    dcEdge: Any
+    invDvEdge: Any
+    invDcEdge: Any
+    areaCell: Any             # [C]
+    invAreaCell: Any
+    invAreaTriangle: Any      # [V]
+    meshScalingDel2: Any      # [E]
+    meshScalingDel4: Any      # [E]
+
+    # advection stencil (atm_adv_coef_compression)
+    advCellsForEdge: Any      # [E, S]
+    advMaskForEdge: Any       # [E, S]
+    adv_coefs: Any            # [E, S]
+    adv_coefs_3rd: Any        # [E, S]
+
+    # velocity reconstruction + deformation
+    coeffs_reconstruct: Any   # [C, M, 3]
+    defc_a: Any               # [C, M]
+    defc_b: Any               # [C, M]
+
+    # Coriolis
+    fEdge: Any                # [E]
+    fVertex: Any              # [V]
+
+    @property
+    def nCells(self):
+        return self.edgesOnCell.shape[0]
+
+    @property
+    def nEdges(self):
+        return self.cellsOnEdge.shape[0]
+
+    @property
+    def nVertices(self):
+        return self.cellsOnVertex.shape[0]
+
+    @property
+    def maxEdges(self):
+        return self.edgesOnCell.shape[1]
+
+
+@struct.dataclass
+class VerticalArrays:
+    """1-D vertical metrics on device (vertical_fs, data_structures.rg:558-575)."""
+    rdzw: Any     # [K]
+    dzw: Any      # [K]
+    rdzu: Any     # [K+1]
+    fzm: Any      # [K+1]
+    fzp: Any      # [K+1]
+    zw: Any       # [K+1]
+    cf1: Any      # scalar
+    cf2: Any
+    cf3: Any
+    u_init: Any   # [K]
+    v_init: Any   # [K]
+
+
+@struct.dataclass
+class StaticState:
+    """Per-column static fields set at initialization: terrain-following
+    metrics and the dry reference (base) state."""
+    zgrid: Any          # [C, K+1] physical interface heights
+    zz: Any             # [C, K]   d zeta / d z
+    dss: Any            # [C, K]   w-damping profile (atm_compute_damping_coefs)
+    zxu: Any            # [E, K]   edge slope dz/dx (init_atm_cases.rg:257-263)
+    zb_cell: Any        # [C, M, K+1] omega metric, cell-local copy
+    zb3_cell: Any       # [C, M, K+1] (scaled by coef_3rd_order)
+    rho_base: Any       # [C, K]
+    theta_base: Any     # [C, K]
+    rtheta_base: Any    # [C, K]
+    exner_base: Any     # [C, K]
+    pressure_base: Any  # [C, K]
+    t_init: Any         # [C, K] initial theta_m (perturbation-form mixing)
+
+
+@struct.dataclass
+class State:
+    """Prognostic + persistent diagnostic state advanced by the SRK3 step."""
+    # prognostics (uncoupled)
+    u: Any              # [E, K] normal velocity
+    w: Any              # [C, K+1]
+    theta_m: Any        # [C, K] moist potential temperature
+    rho_zz: Any         # [C, K] coupled dry density rho/zz
+
+    # coupled / perturbation variables
+    ru: Any             # [E, K]
+    rw: Any             # [C, K+1]
+    rho_p: Any          # [C, K]
+    rtheta_p: Any       # [C, K]
+    exner: Any          # [C, K]
+    pressure_p: Any     # [C, K]
+
+    # time-averaged fluxes for scalar transport
+    ruAvg: Any          # [E, K]
+    wwAvg: Any          # [C, K+1]
+
+    # persistent diagnostics (atm_compute_solve_diagnostics outputs, consumed
+    # by the next stage's dyn_tend)
+    ke: Any             # [C, K]
+    divergence: Any     # [C, K]
+    vorticity: Any      # [V, K]
+    pv_edge: Any        # [E, K]
+    rho_edge: Any       # [E, K]
+    v: Any              # [E, K] tangential velocity
+    uReconstructZonal: Any       # [C, K]
+    uReconstructMeridional: Any  # [C, K]
+
+    # physics couplings (zero for dry dynamics)
+    rt_diabatic_tend: Any   # [C, K]
+    tend_rho_physics: Any   # [C, K]
+    tend_rtheta_physics: Any  # [C, K]
+    tend_ru_physics: Any    # [E, K]
+
+    # moisture coupling coefficients (atm_compute_moist_coefficients)
+    qtot: Any           # [C, K]
+    cqw: Any            # [C, K]
+    cqu: Any            # [E, K]
+
+    # scalars (moisture etc.), [C, K, nScalars]; None when dry
+    scalars: Any = None
+
+
+def zero_state(C: int, E: int, V: int, K: int, dtype=jnp.float32,
+               n_scalars: int = 0) -> State:
+    z = lambda *s: jnp.zeros(s, dtype)
+    return State(
+        u=z(E, K), w=z(C, K + 1), theta_m=z(C, K), rho_zz=z(C, K),
+        ru=z(E, K), rw=z(C, K + 1), rho_p=z(C, K), rtheta_p=z(C, K),
+        exner=z(C, K), pressure_p=z(C, K),
+        ruAvg=z(E, K), wwAvg=z(C, K + 1),
+        ke=z(C, K), divergence=z(C, K), vorticity=z(V, K),
+        pv_edge=z(E, K), rho_edge=z(E, K), v=z(E, K),
+        uReconstructZonal=z(C, K), uReconstructMeridional=z(C, K),
+        rt_diabatic_tend=z(C, K), tend_rho_physics=z(C, K),
+        tend_rtheta_physics=z(C, K), tend_ru_physics=z(E, K),
+        # dry atmosphere: moisture coupling coefficients are exactly 1
+        qtot=z(C, K), cqw=jnp.ones((C, K), dtype), cqu=jnp.ones((E, K), dtype),
+        scalars=(z(C, K, n_scalars) if n_scalars else None),
+    )
+
+
+def mesh_arrays_from_mesh(mesh: Mesh, namelist, dtype=jnp.float32,
+                          deriv_two=None) -> MeshArrays:
+    """Build device MeshArrays (including all derived stencil coefficients)
+    from a host Mesh."""
+    if deriv_two is None:
+        deriv_two = mcoef.compute_deriv_two(mesh)
+    adv = mcoef.compute_advection_coefficients(
+        mesh, deriv_two, coef_3rd_order=namelist.config_coef_3rd_order)
+    coeffs_reconstruct = mcoef.compute_reconstruct_coefficients(mesh)
+    defc_a, defc_b = mcoef.compute_deformation_weights(mesh)
+    ms2, ms4 = mcoef.compute_mesh_scaling(mesh, namelist.config_h_ScaleWithMesh)
+
+    # rotated Coriolis parameter, alpha_grid = 0 (init_atm_cases.rg:595-601)
+    from .. import constants
+    fEdge = 2.0 * constants.omega * np.sin(mesh.latEdge)
+    fVertex = 2.0 * constants.omega * np.sin(mesh.latVertex)
+
+    f = lambda a: jnp.asarray(a, dtype)
+    i = lambda a: jnp.asarray(a, jnp.int32)
+    return MeshArrays(
+        cellsOnEdge=i(mesh.cellsOnEdge), verticesOnEdge=i(mesh.verticesOnEdge),
+        edgesOnCell=i(mesh.edgesOnCell), cellsOnCell=i(mesh.cellsOnCell),
+        verticesOnCell=i(mesh.verticesOnCell),
+        edgesOnCell_mask=f(mesh.edgesOnCell_mask),
+        edgesOnCellSign=f(mesh.edgesOnCellSign),
+        cellsOnVertex=i(mesh.cellsOnVertex), edgesOnVertex=i(mesh.edgesOnVertex),
+        edgesOnVertexSign=f(mesh.edgesOnVertexSign),
+        edgesOnEdge=i(mesh.edgesOnEdge), edgesOnEdge_mask=f(mesh.edgesOnEdge_mask),
+        weightsOnEdge=f(mesh.weightsOnEdge),
+        kiteForCell=i(mesh.kiteForCell), kiteAreasOnVertex=f(mesh.kiteAreasOnVertex),
+        latCell=f(mesh.latCell), lonCell=f(mesh.lonCell),
+        latEdge=f(mesh.latEdge), lonEdge=f(mesh.lonEdge),
+        angleEdge=f(mesh.angleEdge),
+        dvEdge=f(mesh.dvEdge), dcEdge=f(mesh.dcEdge),
+        invDvEdge=f(mesh.invDvEdge), invDcEdge=f(mesh.invDcEdge),
+        areaCell=f(mesh.areaCell), invAreaCell=f(mesh.invAreaCell),
+        invAreaTriangle=f(mesh.invAreaTriangle),
+        meshScalingDel2=f(ms2), meshScalingDel4=f(ms4),
+        advCellsForEdge=i(adv.advCellsForEdge), advMaskForEdge=f(adv.advMaskForEdge),
+        adv_coefs=f(adv.adv_coefs), adv_coefs_3rd=f(adv.adv_coefs_3rd),
+        coeffs_reconstruct=f(coeffs_reconstruct),
+        defc_a=f(defc_a), defc_b=f(defc_b),
+        fEdge=f(fEdge), fVertex=f(fVertex),
+    )
+
+
+def vertical_arrays_from_grid(vg: VerticalGrid, dtype=jnp.float32) -> VerticalArrays:
+    f = lambda a: jnp.asarray(a, dtype)
+    return VerticalArrays(
+        rdzw=f(vg.rdzw), dzw=f(vg.dzw), rdzu=f(vg.rdzu),
+        fzm=f(vg.fzm), fzp=f(vg.fzp), zw=f(vg.zw),
+        cf1=jnp.asarray(vg.cf1, dtype), cf2=jnp.asarray(vg.cf2, dtype),
+        cf3=jnp.asarray(vg.cf3, dtype),
+        u_init=f(vg.u_init), v_init=f(vg.v_init),
+    )

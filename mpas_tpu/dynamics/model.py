@@ -1,0 +1,107 @@
+"""Top-level model assembly and run loop.
+
+The equivalent of the reference's main.rg + atm_core.rg orchestration
+(main -> load_mesh -> init_atm_case_jw -> atm_core_init -> timestep loop,
+SURVEY.md section 3.1), collapsed into a Model object: host-side setup
+(mesh ingest, coefficient builders, JW init) followed by a single jitted
+SRK3 step function.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..config import Namelist
+from ..core import state as core_state
+from ..core.vertical import VerticalGrid, make_vertical_grid
+from ..init import jw as jw_init
+from ..mesh import coefficients as mcoef
+from ..mesh.loader import Mesh, load_mesh
+from ..ops import diagnostics as diag_ops
+from . import srk3
+
+DEFAULT_GRID = "/root/reference/mesh_loading/x1.2562.grid.nc"
+
+
+@dataclass
+class Model:
+    namelist: Namelist
+    mesh: Mesh                       # host-side mesh
+    vgrid: VerticalGrid              # host-side vertical grid
+    mesh_arrays: core_state.MeshArrays
+    vert: core_state.VerticalArrays
+    static: core_state.StaticState
+    state: core_state.State
+    step_fn: Callable = None
+    step_count: int = 0
+    init_fields: dict = field(default_factory=dict)  # host-side init extras
+
+    @property
+    def dtype(self):
+        return self.state.theta_m.dtype
+
+    def step(self, n: int = 1):
+        for _ in range(n):
+            self.state = self.step_fn(self.state)
+            self.step_count += 1
+        return self.state
+
+    def summarize(self):
+        return {k: float(v) for k, v in
+                srk3.summarize_timestep(self.state, self.mesh_arrays).items()}
+
+
+def build_model(grid_path: str = DEFAULT_GRID,
+                namelist: Optional[Namelist] = None,
+                mesh: Optional[Mesh] = None,
+                dtype=None) -> Model:
+    """Load the mesh, build all static coefficients, apply the JW initial
+    condition, derive the coupled state, and compile the step function."""
+    nl = namelist or Namelist()
+    dtype = dtype or jnp.dtype(nl.dtype)
+
+    if mesh is None:
+        mesh = load_mesh(grid_path)
+    mesh.validate()
+    vg = make_vertical_grid(nl.config_nvertlevels, nl.config_ztop,
+                            nl.config_vertical_stretch)
+
+    deriv_two = mcoef.compute_deriv_two(mesh)
+    marr = core_state.mesh_arrays_from_mesh(mesh, nl, dtype, deriv_two=deriv_two)
+    vert = core_state.vertical_arrays_from_grid(vg, dtype)
+
+    static_np, init_np = jw_init.init_jw(mesh, vg, nl, deriv_two)
+    f = lambda a: jnp.asarray(a, dtype)
+    static = core_state.StaticState(**{k: f(v) for k, v in static_np.items()})
+
+    C, E, V, K = mesh.nCells, mesh.nEdges, mesh.nVertices, vg.nVertLevels
+    n_scalars = 1 if nl.config_moisture else 0
+    state = core_state.zero_state(C, E, V, K, dtype, n_scalars=n_scalars)
+    state = state.replace(
+        u=f(init_np["u"]), w=f(init_np["w"]), theta_m=f(init_np["theta_m"]),
+        rho_zz=f(init_np["rho"]),            # physical rho; coupled below
+        v=f(init_np["v"]), pressure_p=f(init_np["pressure_p"]),
+        exner=f(init_np["exner"]))
+    if nl.config_moisture:
+        state = state.replace(scalars=f(init_np["qv"])[..., None])
+
+    # atm_core_init sequence (atm_core.rg:10-44): coupled diagnostics,
+    # solve diagnostics, reconstruction
+    state = diag_ops.init_coupled_diagnostics(state, static, marr, vert)
+    diags = diag_ops.compute_solve_diagnostics(state, marr, hollingsworth=False,
+                                               reconstruct_v=True)
+    state = state.replace(**diags)
+    zonal, meridional = diag_ops.reconstruct_velocity(state.u, marr)
+    state = state.replace(uReconstructZonal=zonal, uReconstructMeridional=meridional)
+
+    step_fn = srk3.make_step_fn(static, marr, vert, nl)
+    return Model(namelist=nl, mesh=mesh, vgrid=vg, mesh_arrays=marr, vert=vert,
+                 static=static, state=state, step_fn=step_fn,
+                 init_fields=init_np)

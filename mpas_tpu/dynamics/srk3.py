@@ -1,0 +1,134 @@
+"""The 3rd-order Runge-Kutta split-explicit time integrator.
+
+Rebuilds atm_srk3 / atm_timestep (rk_timestep.rg:361-519) as a single pure
+function: the RK loop (static trip count 3) and the acoustic loop (2-3) are
+unrolled at trace time, so one jit compiles the whole timestep into one XLA
+program — the TPU-native equivalent of the reference's Legion task graph.
+
+Differences from the reference (deliberate, per SURVEY.md section 8):
+  - atm_recover_large_step_variables runs every RK stage (commented out in
+    the reference at rk_timestep.rg:460, leaving its state frozen);
+  - mpas_reconstruct runs after the RK loop (skipped at :487);
+  - the final rho_zz is rediagnosed as rho_p + rho_base after the
+    dynamics-split bookkeeping restores the old density for scalar
+    transport.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import acoustic as ac_ops
+from ..ops import diagnostics as diag_ops
+from ..ops import recover as rk_ops
+from ..ops import tendencies as tend_ops
+
+
+def rk_substep_counts(number_of_sub_steps: int):
+    """(n_small_steps per rk stage, rk_sub_timestep factors)
+    (rk_timestep.rg:378-399)."""
+    n = number_of_sub_steps
+    counts = [max(1, n // 2), max(1, n // 2), n]
+    return counts
+
+
+def atm_srk3(state, static, mesh, vert, nl, dt: float):
+    """Advance one full dynamics timestep (possibly several dynamics
+    substeps).  Returns the new state."""
+    dynamics_split = nl.config_dynamics_split_steps
+    dt_dynamics = dt / dynamics_split
+    n_sub = nl.config_number_of_sub_steps
+
+    rk_timestep = [dt_dynamics / 3.0, dt_dynamics / 2.0, dt_dynamics]
+    rk_sub_timestep = [dt_dynamics / 3.0, dt_dynamics / n_sub, dt_dynamics / n_sub]
+    number_sub_steps = rk_substep_counts(n_sub)
+
+    save = rk_ops.rk_integration_setup(state)
+    state = rk_ops.compute_moist_coefficients(state, mesh)
+
+    ruAvg_split = jnp.zeros_like(state.ruAvg)
+    wwAvg_split = jnp.zeros_like(state.wwAvg)
+
+    for dynamics_substep in range(1, dynamics_split + 1):
+        coefs = ac_ops.compute_vert_imp_coefs(state, static, vert, nl,
+                                              rk_sub_timestep[0])
+        tend = None
+
+        for rk_step in range(3):
+            if rk_step == 1:
+                coefs = ac_ops.compute_vert_imp_coefs(state, static, vert, nl,
+                                                      rk_sub_timestep[rk_step])
+
+            tend = tend_ops.compute_dyn_tend(state, save, static, mesh, vert,
+                                             nl, rk_step, dt, prev=tend)
+            tend = rk_ops.set_smlstep_pert_variables(tend, static, mesh, vert)
+
+            # ---- acoustic substeps ----
+            ns = number_sub_steps[rk_step]
+            ac = ac_ops.AcousticState(
+                ru_p=jnp.zeros_like(state.u),
+                rho_pp=jnp.zeros_like(state.rho_p),
+                rtheta_pp=jnp.zeros_like(state.rtheta_p),
+                rtheta_pp_old=jnp.zeros_like(state.rtheta_p),
+                rw_p=jnp.zeros_like(state.rw))
+            ruAvg = jnp.zeros_like(state.ruAvg)
+            wwAvg = jnp.zeros_like(state.wwAvg)
+            for small_step in range(ns):
+                ac, ruAvg, wwAvg = ac_ops.advance_acoustic_step(
+                    ac, ruAvg, wwAvg, tend, coefs, state, save, static, mesh,
+                    vert, nl, rk_sub_timestep[rk_step], small_step)
+                if nl.config_divergence_damping:
+                    ac = ac_ops.divergence_damping_3d(ac, state, mesh, nl,
+                                                      rk_sub_timestep[rk_step])
+
+            state = rk_ops.recover_large_step_variables(
+                state, ac, ruAvg, wwAvg, save, static, mesh, vert, nl,
+                ns, rk_step, rk_timestep[rk_step])
+
+            # diagnostics for the next stage (tangential v only needed
+            # entering the Smagorinsky step, i.e. after the last stage)
+            diags = diag_ops.compute_solve_diagnostics(
+                state, mesh, hollingsworth=False, reconstruct_v=(rk_step == 2))
+            state = state.replace(**diags)
+
+        state, save, ruAvg_split, wwAvg_split = rk_ops.rk_dynamics_substep_finish(
+            state, save, dynamics_substep, dynamics_split,
+            ruAvg_split, wwAvg_split)
+
+    # scalar transport would run here on (rho_zz_old, ruAvg, wwAvg);
+    # rediagnose the new density afterwards
+    state = state.replace(rho_zz=state.rho_p + static.rho_base)
+
+    zonal, meridional = diag_ops.reconstruct_velocity(state.u, mesh)
+    state = state.replace(uReconstructZonal=zonal, uReconstructMeridional=meridional)
+    return state
+
+
+def summarize_timestep(state, mesh):
+    """Global min/max/NaN diagnostics (summarize_timestep, rk_timestep.rg:29-359)
+    as a dict of scalars; in sharded runs these reduce with psum/pmax over the
+    device mesh instead of the reference's stubbed MPI reductions."""
+    wsp = jnp.sqrt(state.u ** 2 + state.v ** 2)
+    return dict(
+        w_min=jnp.min(state.w), w_max=jnp.max(state.w),
+        u_min=jnp.min(state.u), u_max=jnp.max(state.u),
+        wsp_max=jnp.max(wsp),
+        theta_min=jnp.min(state.theta_m), theta_max=jnp.max(state.theta_m),
+        nan_detected=jnp.logical_or(jnp.any(jnp.isnan(state.w)),
+                                    jnp.any(jnp.isnan(state.u))),
+    )
+
+
+def make_step_fn(static, mesh, vert, nl, dt=None):
+    """Returns a jitted step(state) -> state closing over the static data."""
+    dt = nl.config_dt if dt is None else dt
+
+    @jax.jit
+    def step(state):
+        return atm_srk3(state, static, mesh, vert, nl, dt)
+
+    return step

@@ -1,0 +1,136 @@
+"""Diagnostic operators: solve_diagnostics, velocity reconstruction, coupled
+state initialization, output diagnostics.
+
+Rebuilds atm_compute_solve_diagnostics (dynamics_tasks.rg:328-454),
+mpas_reconstruct_2d (:1894-1948), atm_init_coupled_diagnostics (:651-725) and
+atm_compute_output_diagnostics (:729-744) as pure gather-based functions.
+Reference defects corrected here (SURVEY.md section 8):
+  - divergence accumulates s * u (the reference's `s + u` at :375);
+  - the tangential-velocity sum includes all nEdgesOnEdge terms (the
+    reference starts its loop at 1, :433);
+  - rho_edge is actually computed (consumed but never written in the
+    reference).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants
+from . import stencils as st
+
+
+def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
+                              reconstruct_v: bool = True):
+    """Returns dict of updated diagnostic fields:
+    ke, divergence, vorticity, pv_edge, rho_edge, v (if reconstruct_v)."""
+    u = state.u
+    h = state.rho_zz
+
+    # edge-interpolated mass and kinetic energy
+    rho_edge = st.avg_cell_to_edge(h, mesh.cellsOnEdge)
+    efac = (mesh.dcEdge * mesh.dvEdge)[:, None]
+    ke_edge = efac * u * u
+
+    # circulation -> relative vorticity at vertices
+    w_vortex = mesh.edgesOnVertexSign * jnp.take(mesh.dcEdge, mesh.edgesOnVertex)
+    vorticity = st.sum_edges_to_vertex(u, mesh.edgesOnVertex, w_vortex)
+    vorticity = vorticity * mesh.invAreaTriangle[:, None]
+
+    # divergence at cell centers
+    w_div = (mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
+             * mesh.invAreaCell[:, None])
+    divergence = st.sum_edges_to_cell(u, mesh.edgesOnCell, w_div)
+
+    # cell kinetic energy (Ringler et al JCP 2009)
+    w_ke = 0.25 * mesh.edgesOnCell_mask * mesh.invAreaCell[:, None]
+    ke = st.sum_edges_to_cell(ke_edge, mesh.edgesOnCell, w_ke)
+
+    if hollingsworth:
+        # AG's KE construction (dynamics_tasks.rg:392-418)
+        r = 0.25 * mesh.invAreaTriangle[:, None]
+        ke_vertex = st.sum_edges_to_vertex(
+            ke_edge, mesh.edgesOnVertex, jnp.ones_like(mesh.edgesOnVertexSign)) * r
+        ke_fact = 1.0 - 0.375
+        ke = ke * ke_fact
+        kite_area = jnp.take_along_axis(
+            jnp.take(mesh.kiteAreasOnVertex, mesh.verticesOnCell, axis=0),
+            mesh.kiteForCell[..., None], axis=2)[..., 0]       # [C, M]
+        kv = jnp.take(ke_vertex, mesh.verticesOnCell, axis=0)  # [C, M, K]
+        ke = ke + (1.0 - ke_fact) * mesh.invAreaCell[:, None] * jnp.einsum(
+            "cm,cmk->ck", kite_area * mesh.edgesOnCell_mask, kv)
+
+    out = dict(ke=ke, divergence=divergence, vorticity=vorticity, rho_edge=rho_edge)
+
+    # tangential velocities (Thuburn et al JCP 2009)
+    if reconstruct_v:
+        out["v"] = st.edges_on_edge_sum(u, mesh.edgesOnEdge, mesh.weightsOnEdge,
+                                        mesh.edgesOnEdge_mask)
+
+    # potential vorticity at vertices and edges (dry: no 1/h factor)
+    pv_vertex = mesh.fVertex[:, None] + vorticity
+    out["pv_edge"] = st.sum_vertices_to_edge(pv_vertex, mesh.verticesOnEdge)
+    return out
+
+
+def reconstruct_velocity(u, mesh):
+    """Cell-center zonal/meridional wind from edge normal velocities
+    (mpas_reconstruct_2d, dynamics_tasks.rg:1894-1948; coefficients are the
+    tangent-plane LSQ matrix, mesh/coefficients.py)."""
+    ue = jnp.take(u, mesh.edgesOnCell, axis=0)                 # [C, M, K]
+    ux = jnp.einsum("cm,cmk->ck", mesh.coeffs_reconstruct[..., 0], ue)
+    uy = jnp.einsum("cm,cmk->ck", mesh.coeffs_reconstruct[..., 1], ue)
+    uz = jnp.einsum("cm,cmk->ck", mesh.coeffs_reconstruct[..., 2], ue)
+    clat = jnp.cos(mesh.latCell)[:, None]
+    slat = jnp.sin(mesh.latCell)[:, None]
+    clon = jnp.cos(mesh.lonCell)[:, None]
+    slon = jnp.sin(mesh.lonCell)[:, None]
+    zonal = -ux * slon + uy * clon
+    meridional = -(ux * clon + uy * slon) * slat + uz * clat
+    return zonal, meridional
+
+
+def init_coupled_diagnostics(state, static, mesh, vert):
+    """Derive the coupled state (ru, rw, rho_p, rtheta_p, exner, pressure)
+    from the uncoupled initial condition (atm_init_coupled_diagnostics,
+    dynamics_tasks.rg:651-725).  Expects state.rho_zz to hold physical rho
+    on input (divided by zz here)."""
+    rgas, cp, p0 = constants.rgas, constants.cp, constants.p0
+    rcv = rgas / (cp - rgas)
+
+    rho_zz = state.rho_zz / static.zz
+    ru = st.avg_cell_to_edge(rho_zz, mesh.cellsOnEdge) * state.u
+
+    # rw = rho*omega from w and ru (inverse of the recover procedure)
+    zz_i = st.interface_interp(static.zz, vert.fzm, vert.fzp)         # [C, K+1]
+    rho_i = st.interface_interp(rho_zz, vert.fzm, vert.fzp)
+    rw = state.w * rho_i * zz_i
+
+    # subtract the sloping-coordinate metric transport
+    flux_e = st.interface_interp(ru, vert.fzm, vert.fzp)              # [E, K+1]
+    sgn = jnp.sign(flux_e)
+    fe = jnp.take(flux_e, mesh.edgesOnCell, axis=0)                   # [C, M, K+1]
+    se = jnp.take(sgn, mesh.edgesOnCell, axis=0)
+    zb_eff = static.zb_cell[:, :, :] + se * static.zb3_cell[:, :, :]
+    metric = jnp.einsum("cm,cmk->ck",
+                        mesh.edgesOnCellSign, zb_eff * fe)            # [C, K+1]
+    rw = rw - metric * zz_i
+
+    rho_p = rho_zz - static.rho_base
+    rtheta_p = (state.theta_m * rho_p
+                + static.rho_base * (state.theta_m - static.theta_base))
+    exner = (static.zz * (rgas / p0) * (rtheta_p + static.rtheta_base)) ** rcv
+    pressure_p = static.zz * rgas * (exner * rtheta_p
+                                     + static.rtheta_base * (exner - static.exner_base))
+    return state.replace(rho_zz=rho_zz, ru=ru, rw=rw, rho_p=rho_p,
+                         rtheta_p=rtheta_p, exner=exner, pressure_p=pressure_p)
+
+
+def output_diagnostics(state, static):
+    """rho, theta, full pressure for output (atm_compute_output_diagnostics,
+    dynamics_tasks.rg:729-744)."""
+    rho = state.rho_zz * static.zz
+    qv = state.scalars[..., 0] if state.scalars is not None else 0.0
+    theta = state.theta_m / (1.0 + constants.rvord * qv)
+    pressure = static.pressure_base + state.pressure_p
+    return dict(rho=rho, theta=theta, pressure=pressure)

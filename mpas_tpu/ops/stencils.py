@@ -1,0 +1,145 @@
+"""Gather-based stencil primitives for the unstructured C-grid.
+
+All horizontal indirection in the dycore reduces to a handful of patterns,
+expressed scatter-free (every output row *pulls* its inputs) so they vectorize
+on the TPU VPU, shard cleanly under shard_map, and fuse under XLA:
+
+  - cell -> edge gathers via cellsOnEdge
+  - edge -> cell weighted sums via edgesOnCell (+ sign/mask weights)
+  - edge -> vertex sums via edgesOnVertex
+  - the <=10-cell advection stencil gather via advCellsForEdge
+  - vertical interface/mass interpolation and 3rd/4th-order vertical fluxes
+    (flux3/flux4, dynamics_tasks.rg:780-789)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# horizontal gathers
+# ---------------------------------------------------------------------------
+
+def gather(f, idx):
+    """Row gather: f [N, ...] indexed by idx [...] -> f[idx]."""
+    return jnp.take(f, idx, axis=0)
+
+
+def edge_pair(f_c, cellsOnEdge):
+    """Cell field [C, K] -> (f(cell1), f(cell2)) each [E, K]."""
+    g = jnp.take(f_c, cellsOnEdge, axis=0)      # [E, 2, K]
+    return g[:, 0], g[:, 1]
+
+
+def avg_cell_to_edge(f_c, cellsOnEdge):
+    c1, c2 = edge_pair(f_c, cellsOnEdge)
+    return 0.5 * (c1 + c2)
+
+
+def diff_cell_to_edge(f_c, cellsOnEdge):
+    """f(cell2) - f(cell1): the gradient numerator along the edge normal."""
+    c1, c2 = edge_pair(f_c, cellsOnEdge)
+    return c2 - c1
+
+
+def sum_edges_to_cell(f_e, edgesOnCell, weights):
+    """sum_i weights[c, i] * f_e[edgesOnCell[c, i]] -> [C, K].
+
+    `weights` [C, M] already folds in sign/mask/length factors."""
+    g = jnp.take(f_e, edgesOnCell, axis=0)      # [C, M, K]
+    return jnp.einsum("cm,cmk->ck", weights, g)
+
+
+def sum_edges_to_vertex(f_e, edgesOnVertex, weights):
+    g = jnp.take(f_e, edgesOnVertex, axis=0)    # [V, D, K]
+    return jnp.einsum("vd,vdk->vk", weights, g)
+
+
+def sum_vertices_to_edge(f_v, verticesOnEdge):
+    g = jnp.take(f_v, verticesOnEdge, axis=0)   # [E, 2, K]
+    return 0.5 * (g[:, 0] + g[:, 1])
+
+
+def edges_on_edge_sum(f_e, edgesOnEdge, weightsOnEdge, mask):
+    """Tangential reconstruction: sum_j w[e,j] * f_e[edgesOnEdge[e,j]]
+    (Thuburn 2009 weights; dynamics_tasks.rg:430-439 with the reference's
+    off-by-one loop start corrected to include all nEdgesOnEdge terms)."""
+    g = jnp.take(f_e, edgesOnEdge, axis=0)      # [E, W2, K]
+    return jnp.einsum("ew,ewk->ek", weightsOnEdge * mask, g)
+
+
+def adv_flux_on_edge(q_c, flow_sign, adv_cells, adv_coefs, adv_coefs_3rd):
+    """Horizontal 3rd/4th-order advective edge value:
+    F[e, k] = sum_j (adv_coefs[e,j] + sign(flow[e,k]) * adv_coefs_3rd[e,j]) * q[advCells[e,j], k]
+    `flow_sign` [E, K] is sign(ru) (+-1).  Padding slots carry zero coefs."""
+    qa = jnp.take(q_c, adv_cells, axis=0)       # [E, S, K]
+    base = jnp.einsum("es,esk->ek", adv_coefs, qa)
+    third = jnp.einsum("es,esk->ek", adv_coefs_3rd, qa)
+    return base + flow_sign * third
+
+
+# ---------------------------------------------------------------------------
+# vertical operators (K minor axis)
+# ---------------------------------------------------------------------------
+
+def interface_interp(f, fzm, fzp):
+    """Mass-level field [N, K] -> interface values [N, K+1];
+    interior k: fzm[k]*f[:,k] + fzp[k]*f[:,k-1]; rows 0 and K are zero."""
+    K = f.shape[-1]
+    interior = fzm[1:K] * f[:, 1:] + fzp[1:K] * f[:, :-1]
+    zero = jnp.zeros_like(f[:, :1])
+    return jnp.concatenate([zero, interior, zero], axis=-1)
+
+
+def delta(g):
+    """Difference along the minor axis: g[:, 1:] - g[:, :-1]."""
+    return g[:, 1:] - g[:, :-1]
+
+
+def flux4(q_im2, q_im1, q_i, q_ip1, ua):
+    """4th-order flux (dynamics_tasks.rg:781-783)."""
+    return ua * (7.0 * (q_i + q_im1) - (q_ip1 + q_im2)) / 12.0
+
+
+def flux3(q_im2, q_im1, q_i, q_ip1, ua, coef3):
+    """3rd-order upwind-biased flux (dynamics_tasks.rg:785-789)."""
+    return (flux4(q_im2, q_im1, q_i, q_ip1, ua)
+            + coef3 * jnp.abs(ua) * ((q_ip1 - q_im2) - 3.0 * (q_i - q_im1)) / 12.0)
+
+
+def vflux_mass_to_iface(q, m_iface, fzm, fzp, coef3):
+    """Vertical flux of a mass-level quantity q [N, K] through interfaces,
+    advected by m_iface [N, K+1] (e.g. rw): returns [N, K+1].
+
+    MPAS semantics (theta wdtz / u wduz): 0 at interfaces 0 and K; 2nd-order
+    fzm/fzp interpolation at interfaces 1 and K-1; flux3 at 2..K-2."""
+    N, K = q.shape
+    out = m_iface * interface_interp(q, fzm, fzp)            # 2nd order everywhere
+    if K >= 4:
+        ua = m_iface[:, 2:K - 1]                             # interior interfaces
+        f3 = flux3(q[:, 0:K - 3], q[:, 1:K - 2], q[:, 2:K - 1], q[:, 3:K], ua, coef3)
+        out = out.at[:, 2:K - 1].set(f3)
+    return out
+
+
+def vflux_iface_to_mass(w, rw, coef3):
+    """Vertical flux of the interface quantity w [N, K+1] at mass levels,
+    advected by rw [N, K+1]: returns [N, K] (the wdwz array,
+    dynamics_tasks.rg:1277-1287).
+
+    Mass level j uses advector 0.5*(rw[j] + rw[j+1]); 2nd-order average of w
+    at j=0 and j=K-1, flux3 on the 4-point interface stencil in between."""
+    N, Kp1 = w.shape
+    K = Kp1 - 1
+    ua = 0.5 * (rw[:, :-1] + rw[:, 1:])                      # [N, K]
+    out = ua * 0.5 * (w[:, :-1] + w[:, 1:])                  # 2nd order everywhere
+    if K >= 4:
+        # flux3 on interior mass levels j = 1 .. K-3 (stencil w[j-1..j+2])
+        f3 = flux3(w[:, 0:K - 3], w[:, 1:K - 2], w[:, 2:K - 1], w[:, 3:K],
+                   ua[:, 1:K - 2], coef3)
+        out = out.at[:, 1:K - 2].set(f3)
+    # MPAS zeroes the top mass-level flux (wdwz(nVertLevels+1) = 0)
+    out = out.at[:, K - 1].set(0.0)
+    return out
