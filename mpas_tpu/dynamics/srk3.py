@@ -36,9 +36,20 @@ def rk_substep_counts(number_of_sub_steps: int):
     return counts
 
 
-def atm_srk3(state, static, mesh, vert, nl, dt: float):
+def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
     """Advance one full dynamics timestep (possibly several dynamics
-    substeps).  Returns the new state."""
+    substeps).  Returns the new state.
+
+    `halo` (optional) is a parallel.halo.HaloExchange bound to a domain
+    decomposition: when given, prognostic halos are refreshed at the top of
+    each RK stage and the acoustic perturbation halos once per substep, and
+    all stencil computation proceeds redundantly over the (3-ring) halo so
+    owned outputs are exact.  Diagnostics (ke, divergence, vorticity,
+    pv_edge, v, uReconstruct*) are recomputed at stage start from the
+    freshly-exchanged state — mathematically identical to the reference's
+    end-of-stage placement (the stage-0 state is the previous step's final
+    state), and it removes any need to communicate diagnostic fields.
+    """
     dynamics_split = nl.config_dynamics_split_steps
     dt_dynamics = dt / dynamics_split
     n_sub = nl.config_number_of_sub_steps
@@ -47,6 +58,8 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float):
     rk_sub_timestep = [dt_dynamics / 3.0, dt_dynamics / n_sub, dt_dynamics / n_sub]
     number_sub_steps = rk_substep_counts(n_sub)
 
+    if halo is not None:
+        state = halo.refresh_state(state)
     save = rk_ops.rk_integration_setup(state)
     state = rk_ops.compute_moist_coefficients(state, mesh)
 
@@ -54,12 +67,24 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float):
     wwAvg_split = jnp.zeros_like(state.wwAvg)
 
     for dynamics_substep in range(1, dynamics_split + 1):
-        coefs = ac_ops.compute_vert_imp_coefs(state, static, vert, nl,
-                                              rk_sub_timestep[0])
+        coefs = None
         tend = None
 
         for rk_step in range(3):
-            if rk_step == 1:
+            if rk_step > 0 and halo is not None:
+                state = halo.refresh_state(state)
+
+            # diagnostics of the current stage state (solve_diagnostics);
+            # the cell-center reconstruction feeds the curvature terms
+            diags = diag_ops.compute_solve_diagnostics(
+                state, mesh, hollingsworth=False, reconstruct_v=(rk_step == 0))
+            state = state.replace(**diags)
+            if rk_step == 0:
+                zonal, meridional = diag_ops.reconstruct_velocity(state.u, mesh)
+                state = state.replace(uReconstructZonal=zonal,
+                                      uReconstructMeridional=meridional)
+
+            if rk_step in (0, 1):
                 coefs = ac_ops.compute_vert_imp_coefs(state, static, vert, nl,
                                                       rk_sub_timestep[rk_step])
 
@@ -81,6 +106,8 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float):
                 ac, ruAvg, wwAvg = ac_ops.advance_acoustic_step(
                     ac, ruAvg, wwAvg, tend, coefs, state, save, static, mesh,
                     vert, nl, rk_sub_timestep[rk_step], small_step)
+                if halo is not None:
+                    ac = halo.refresh_acoustic(ac)
                 if nl.config_divergence_damping:
                     ac = ac_ops.divergence_damping_3d(ac, state, mesh, nl,
                                                       rk_sub_timestep[rk_step])
@@ -89,12 +116,6 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float):
                 state, ac, ruAvg, wwAvg, save, static, mesh, vert, nl,
                 ns, rk_step, rk_timestep[rk_step])
 
-            # diagnostics for the next stage (tangential v only needed
-            # entering the Smagorinsky step, i.e. after the last stage)
-            diags = diag_ops.compute_solve_diagnostics(
-                state, mesh, hollingsworth=False, reconstruct_v=(rk_step == 2))
-            state = state.replace(**diags)
-
         state, save, ruAvg_split, wwAvg_split = rk_ops.rk_dynamics_substep_finish(
             state, save, dynamics_substep, dynamics_split,
             ruAvg_split, wwAvg_split)
@@ -102,9 +123,6 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float):
     # scalar transport would run here on (rho_zz_old, ruAvg, wwAvg);
     # rediagnose the new density afterwards
     state = state.replace(rho_zz=state.rho_p + static.rho_base)
-
-    zonal, meridional = diag_ops.reconstruct_velocity(state.u, mesh)
-    state = state.replace(uReconstructZonal=zonal, uReconstructMeridional=meridional)
     return state
 
 

@@ -1,0 +1,106 @@
+"""History and restart I/O.
+
+Rebuilds the reference's write_output_plotting (mesh_loading.rg:810-1191) —
+which wrote only level-0 slices of 8 fields — as a full-field netCDF history
+writer compatible with the reference's plotting scripts, plus an exact
+restart capability (absent in the reference; SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from ..mesh.netcdf_io import write_netcdf, read_netcdf
+from ..ops import diagnostics as diag_ops
+
+# fields written for plotting parity with the reference writer
+# (mesh_loading.rg:810-1191): u, v, w, pressure, pressure_p, rho, theta,
+# surface_pressure + mesh coordinates
+PLOT_LEVEL = 0
+
+
+def write_history(path: str, model, state=None, full_3d: bool = False):
+    """Write a timestep_output.nc-style history file.
+
+    With full_3d=False matches the reference writer's level-0 2-D slices; with
+    full_3d=True writes complete [nCells, nVertLevels] fields."""
+    m = model.mesh
+    state = state if state is not None else model.state
+    out = diag_ops.output_diagnostics(state, model.static)
+    rho = np.asarray(out["rho"])
+    theta = np.asarray(out["theta"])
+    pressure = np.asarray(out["pressure"])
+    pressure_p = np.asarray(state.pressure_p)
+    u = np.asarray(state.u)
+    v = np.asarray(state.v)
+    w = np.asarray(state.w)
+    # surface pressure: extrapolate with cf weights
+    vg = model.vgrid
+    sp = (vg.cf1 * pressure[:, 0] + vg.cf2 * pressure[:, 1]
+          + vg.cf3 * pressure[:, 2])
+
+    K = theta.shape[1]
+    dims = {
+        "Time": 1, "nCells": m.nCells, "nEdges": m.nEdges,
+        "nVertices": m.nVertices, "maxEdges": m.maxEdges,
+        "vertexDegree": m.vertexDegree, "nVertLevels": K,
+        "nVertLevelsP1": K + 1,
+    }
+    sl = (lambda a: a) if full_3d else (lambda a: a[:, PLOT_LEVEL:PLOT_LEVEL + 1])
+    kdim = ("nVertLevels",) if full_3d else ("one",)
+    if not full_3d:
+        dims["one"] = 1
+
+    variables = {
+        # mesh (for the plotting scripts' patch construction)
+        "latCell": (("nCells",), m.latCell),
+        "lonCell": (("nCells",), m.lonCell),
+        "latVertex": (("nVertices",), m.latVertex),
+        "lonVertex": (("nVertices",), m.lonVertex),
+        "nEdgesOnCell": (("nCells",), m.nEdgesOnCell.astype(np.int32)),
+        "verticesOnCell": (("nCells", "maxEdges"),
+                           (m.verticesOnCell + 1).astype(np.int32)),
+        "areaCell": (("nCells",), m.areaCell),
+        # state
+        "u": (("nEdges",) + kdim, sl(u)),
+        "v": (("nEdges",) + kdim, sl(v)),
+        "w": (("nCells",) + kdim, sl(w[:, :K])),
+        "rho": (("nCells",) + kdim, sl(rho)),
+        "theta": (("nCells",) + kdim, sl(theta)),
+        "pressure": (("nCells",) + kdim, sl(pressure)),
+        "pressure_p": (("nCells",) + kdim, sl(pressure_p)),
+        "surface_pressure": (("nCells",), sp),
+    }
+    write_netcdf(path, dims, variables,
+                 attrs={"on_a_sphere": b"YES", "sphere_radius": m.sphere_radius})
+    return path
+
+
+def save_restart(path: str, model):
+    """Exact-restart checkpoint: every prognostic/persistent state field plus
+    the step counter, as a compressed npz (host-side)."""
+    arrays = {}
+    for f in dataclasses.fields(model.state):
+        x = getattr(model.state, f.name)
+        if x is not None:
+            arrays[f.name] = np.asarray(x)
+    arrays["__step_count__"] = np.asarray(model.step_count)
+    np.savez_compressed(path, **arrays)
+    return path
+
+
+def load_restart(path: str, model):
+    """Restore a checkpoint written by save_restart (bitwise exact)."""
+    import jax.numpy as jnp
+    data = np.load(path)
+    updates = {}
+    for f in dataclasses.fields(model.state):
+        if f.name in data:
+            updates[f.name] = jnp.asarray(data[f.name],
+                                          getattr(model.state, f.name).dtype)
+    model.state = model.state.replace(**updates)
+    model.step_count = int(data["__step_count__"])
+    return model

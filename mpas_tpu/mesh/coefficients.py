@@ -183,6 +183,8 @@ def compute_advection_coefficients(mesh: Mesh, deriv_two: np.ndarray,
     # compress kept candidates into the first n_adv slots, preserving order
     order = np.argsort(~keep, axis=1, kind="stable")          # kept first
     adv_cells = np.take_along_axis(cand, order, axis=1)[:, :S]
+    if adv_cells.shape[1] < S:                                # hex meshes: W < 15
+        adv_cells = np.pad(adv_cells, ((0, 0), (0, S - adv_cells.shape[1])))
     slot_mask = np.arange(S)[None, :] < n_adv[:, None]
     adv_cells = np.where(slot_mask, adv_cells, 0).astype(np.int32)
 

@@ -116,7 +116,8 @@ def compute_vert_imp_coefs(state, static, vert, nl, dts) -> ImplicitCoefs:
         return gamma_k, (alpha_k, gamma_k)
 
     xs = (a_tri[:, km].T, b_tri[:, km].T, c_tri[:, km].T)       # [K-1, C]
-    _, (alpha_s, gamma_s) = jax.lax.scan(lu_step, jnp.zeros(C, a_tri.dtype), xs)
+    # carry derived from a varying input so shard_map vma typing is satisfied
+    _, (alpha_s, gamma_s) = jax.lax.scan(lu_step, a_tri[:, 0] * 0.0, xs)
     alpha_tri = jnp.zeros_like(a_tri).at[:, km].set(alpha_s.T)
     gamma_tri = jnp.zeros_like(a_tri).at[:, km].set(gamma_s.T)
 
@@ -139,14 +140,14 @@ def _tridiag_solve(rhs, coefs: ImplicitCoefs):
         return w_k, w_k
 
     xs = (rhs[:, km].T, coefs.a_tri[:, km].T, coefs.alpha_tri[:, km].T)
-    _, w_f = jax.lax.scan(fwd, jnp.zeros(C, rhs.dtype), xs)     # [K-1, C]
+    _, w_f = jax.lax.scan(fwd, rhs[:, 0] * 0.0, xs)             # [K-1, C]
 
     def bwd(w_next, x):
         w_k, g_k = x
         w_new = w_k - g_k * w_next
         return w_new, w_new
 
-    _, w_b = jax.lax.scan(bwd, jnp.zeros(C, rhs.dtype),
+    _, w_b = jax.lax.scan(bwd, rhs[:, 0] * 0.0,
                           (w_f[::-1], coefs.gamma_tri[:, km].T[::-1]))
     w = jnp.zeros_like(rhs).at[:, km].set(w_b[::-1].T)
     return w

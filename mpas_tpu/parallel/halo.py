@@ -1,0 +1,88 @@
+"""Device-side halo exchange over the JAX device mesh.
+
+One exchange = gather the send buffers (precomputed local index tables),
+one lax.all_to_all over the 'dom' mesh axis, and a gather-based reassembly
+(scatter-free: each local slot pulls its refreshed value from the receive
+buffer).  This is the TPU-native equivalent of Legion's ghost-region
+coherence (SURVEY.md section 2.8): the communication topology is computed
+once host-side (parallel/partition.py) and the runtime exchange is a single
+XLA collective that rides ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ExchangeArrays:
+    """Device-side exchange plan for one entity type (per-shard block)."""
+    send_idx: Any     # [S, max_send] int32 (this shard's sends to each peer)
+    send_mask: Any    # [S, max_send]
+    recv_pos: Any     # [L] int32
+    recv_is_halo: Any  # [L]
+
+
+@struct.dataclass
+class HaloTables:
+    cell: ExchangeArrays
+    edge: ExchangeArrays
+    vertex: ExchangeArrays
+
+
+class HaloExchange:
+    """Bound to a shard inside shard_map; refreshes halo slots from owners."""
+
+    def __init__(self, tables: HaloTables, axis_name: str = "dom"):
+        self.t = tables
+        self.axis = axis_name
+
+    def _exchange(self, x, tbl: ExchangeArrays):
+        vec = x.ndim > 1
+        xb = x if vec else x[:, None]
+        send = jnp.take(xb, tbl.send_idx.reshape(-1), axis=0)
+        send = send.reshape(tbl.send_idx.shape + xb.shape[1:])        # [S, m, K]
+        send = send * tbl.send_mask[..., None]
+        recv = jax.lax.all_to_all(send, self.axis, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        # all_to_all with split/concat on axis 0: recv[d] = what shard d sent us
+        recv_flat = recv.reshape((-1,) + xb.shape[1:])                # [S*m, K]
+        new_vals = jnp.take(recv_flat, tbl.recv_pos, axis=0)          # [L, K]
+        out = jnp.where(tbl.recv_is_halo[:, None] > 0, new_vals, xb)
+        return out if vec else out[:, 0]
+
+    def cell(self, *fields):
+        out = tuple(self._exchange(f, self.t.cell) for f in fields)
+        return out if len(out) > 1 else out[0]
+
+    def edge(self, *fields):
+        out = tuple(self._exchange(f, self.t.edge) for f in fields)
+        return out if len(out) > 1 else out[0]
+
+    def vertex(self, *fields):
+        out = tuple(self._exchange(f, self.t.vertex) for f in fields)
+        return out if len(out) > 1 else out[0]
+
+    # ---- solver-level bundles ----
+
+    def refresh_state(self, state):
+        """Refresh all prognostic + physics-coupling halos (stage start)."""
+        w, theta_m, rho_zz, rho_p, rtheta_p, exner, pressure_p, rw = self.cell(
+            state.w, state.theta_m, state.rho_zz, state.rho_p, state.rtheta_p,
+            state.exner, state.pressure_p, state.rw)
+        u, ru = self.edge(state.u, state.ru)
+        return state.replace(w=w, theta_m=theta_m, rho_zz=rho_zz, rho_p=rho_p,
+                             rtheta_p=rtheta_p, exner=exner,
+                             pressure_p=pressure_p, rw=rw, u=u, ru=ru)
+
+    def refresh_acoustic(self, ac):
+        """Refresh acoustic perturbation halos (once per substep)."""
+        rho_pp, rtheta_pp, rtheta_pp_old, rw_p = self.cell(
+            ac.rho_pp, ac.rtheta_pp, ac.rtheta_pp_old, ac.rw_p)
+        ru_p = self.edge(ac.ru_p)
+        return ac.replace(rho_pp=rho_pp, rtheta_pp=rtheta_pp,
+                          rtheta_pp_old=rtheta_pp_old, rw_p=rw_p, ru_p=ru_p)

@@ -1,0 +1,235 @@
+"""Sharded model assembly: global arrays -> per-shard local blocks ->
+shard_map'd SRK3 step over a jax.sharding.Mesh.
+
+The horizontal domain is the sharded axis ('dom'); the vertical stays
+on-chip (SURVEY.md section 2.7).  Each shard holds its owned entities plus a
+3-ring halo; the same ops/ kernels run unmodified on the local arrays, with
+halos refreshed by parallel/halo.py at the exchange points wired into
+dynamics/srk3.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as JaxMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core import state as core_state
+from . import partition as part_mod
+from .halo import ExchangeArrays, HaloExchange, HaloTables
+from ..dynamics import srk3
+
+
+def _gather_struct(obj, index_fn, dtype_map=None):
+    """Apply per-field gather/remap via a spec dict."""
+    raise NotImplementedError
+
+
+# field -> (entity of its first axis, remap target for index arrays or None)
+_MESH_FIELDS = {
+    "cellsOnEdge": ("edge", "cell"), "verticesOnEdge": ("edge", "vertex"),
+    "edgesOnCell": ("cell", "edge"), "cellsOnCell": ("cell", "cell"),
+    "verticesOnCell": ("cell", "vertex"),
+    "edgesOnCell_mask": ("cell", None), "edgesOnCellSign": ("cell", None),
+    "cellsOnVertex": ("vertex", "cell"), "edgesOnVertex": ("vertex", "edge"),
+    "edgesOnVertexSign": ("vertex", None),
+    "edgesOnEdge": ("edge", "edge"), "edgesOnEdge_mask": ("edge", None),
+    "weightsOnEdge": ("edge", None),
+    "kiteForCell": ("cell", None), "kiteAreasOnVertex": ("vertex", None),
+    "latCell": ("cell", None), "lonCell": ("cell", None),
+    "latEdge": ("edge", None), "lonEdge": ("edge", None),
+    "angleEdge": ("edge", None), "dvEdge": ("edge", None),
+    "dcEdge": ("edge", None), "invDvEdge": ("edge", None),
+    "invDcEdge": ("edge", None), "areaCell": ("cell", None),
+    "invAreaCell": ("cell", None), "invAreaTriangle": ("vertex", None),
+    "meshScalingDel2": ("edge", None), "meshScalingDel4": ("edge", None),
+    "advCellsForEdge": ("edge", "cell"), "advMaskForEdge": ("edge", None),
+    "adv_coefs": ("edge", None), "adv_coefs_3rd": ("edge", None),
+    "coeffs_reconstruct": ("cell", None), "defc_a": ("cell", None),
+    "defc_b": ("cell", None), "fEdge": ("edge", None), "fVertex": ("vertex", None),
+}
+
+_STATIC_ENTITY = {
+    "zgrid": "cell", "zz": "cell", "dss": "cell", "zxu": "edge",
+    "zb_cell": "cell", "zb3_cell": "cell", "rho_base": "cell",
+    "theta_base": "cell", "rtheta_base": "cell", "exner_base": "cell",
+    "pressure_base": "cell", "t_init": "cell",
+}
+
+
+def _state_entity(name: str, C: int, E: int, V: int, arr) -> str:
+    n = arr.shape[0]
+    if n == C:
+        return "cell"
+    if n == E:
+        return "edge"
+    if n == V:
+        return "vertex"
+    raise ValueError(f"cannot classify state field {name} with leading dim {n}")
+
+
+@dataclasses.dataclass
+class ShardedModel:
+    n_shards: int
+    partition: part_mod.ShardedPartition
+    jax_mesh: JaxMesh
+    mesh_arrays: Any      # MeshArrays with leading [S] axis, sharded
+    static: Any           # StaticState with leading [S] axis
+    vert: Any             # replicated VerticalArrays
+    tables: Any           # HaloTables with leading [S] axis
+    state: Any            # State with leading [S] axis
+    namelist: Any
+    step_fn: Any = None
+
+    def step(self, n: int = 1):
+        for _ in range(n):
+            self.state = self.step_fn(self.state)
+        return self.state
+
+    def gather_state(self, model_mesh) -> dict:
+        """Collect owned entries back into global arrays (host-side)."""
+        p = self.partition
+        out = {}
+        C, E, V = model_mesh.nCells, model_mesh.nEdges, model_mesh.nVertices
+        for f in dataclasses.fields(self.state):
+            x = getattr(self.state, f.name)
+            if x is None:
+                out[f.name] = None
+                continue
+            x = np.asarray(x)
+            L = x.shape[1]
+            if L == p.cell_l2g.shape[1]:
+                l2g, om, N = p.cell_l2g, p.cell_owned_mask, C
+            elif L == p.edge_l2g.shape[1]:
+                l2g, om, N = p.edge_l2g, p.edge_owned_mask, E
+            elif L == p.vertex_l2g.shape[1]:
+                l2g, om, N = p.vertex_l2g, p.vertex_owned_mask, V
+            else:
+                out[f.name] = None
+                continue
+            g = np.zeros((N,) + x.shape[2:], x.dtype)
+            for s in range(p.n_shards):
+                sel = om[s] > 0
+                g[l2g[s][sel]] = x[s][sel]
+            out[f.name] = g
+        return out
+
+
+def shard_model(model, n_shards: int, metis_path: str | None = None,
+                devices=None) -> ShardedModel:
+    """Build a ShardedModel from a (single-device) Model."""
+    mesh = model.mesh
+    nl = model.namelist
+    dtype = model.state.theta_m.dtype
+    p = part_mod.build_partition(mesh, n_shards, metis_path=metis_path)
+    S = n_shards
+    C, E, V = mesh.nCells, mesh.nEdges, mesh.nVertices
+
+    l2g = {"cell": p.cell_l2g, "edge": p.edge_l2g, "vertex": p.vertex_l2g}
+    g2l = {"cell": p.cell_g2l, "edge": p.edge_g2l, "vertex": p.vertex_g2l}
+
+    def shard_field(arr, entity, remap_to=None):
+        arr = np.asarray(arr)
+        out = arr[l2g[entity]]                       # [S, L, ...]
+        if remap_to is not None:
+            res = np.empty_like(out)
+            for s in range(S):
+                res[s] = part_mod.remap(g2l[remap_to][s], out[s])
+            out = res
+        return out
+
+    # ---- mesh arrays ----
+    marr_np = {}
+    for name, (entity, remap_to) in _MESH_FIELDS.items():
+        marr_np[name] = shard_field(np.asarray(getattr(model.mesh_arrays, name)),
+                                    entity, remap_to)
+    # ---- static state ----
+    static_np = {name: shard_field(np.asarray(getattr(model.static, name)), ent)
+                 for name, ent in _STATIC_ENTITY.items()}
+    # ---- prognostic state ----
+    state_np = {}
+    for f in dataclasses.fields(model.state):
+        x = getattr(model.state, f.name)
+        if x is None:
+            state_np[f.name] = None
+            continue
+        ent = _state_entity(f.name, C, E, V, x)
+        state_np[f.name] = shard_field(np.asarray(x), ent)
+
+    # ---- halo tables ----
+    def table_np(xt):
+        return dict(send_idx=xt.send_idx, send_mask=xt.send_mask,
+                    recv_pos=xt.recv_pos, recv_is_halo=xt.recv_is_halo)
+
+    if devices is None:
+        devices = jax.devices()[:S]
+    jmesh = JaxMesh(np.array(devices), ("dom",))
+    sh = NamedSharding(jmesh, P("dom"))
+    rep = NamedSharding(jmesh, P())
+
+    def put(x, float_ok=True):
+        x = np.asarray(x)
+        if x.dtype in (np.float64, np.float32):
+            x = x.astype(dtype)
+        return jax.device_put(jnp.asarray(x), sh)
+
+    marr = core_state.MeshArrays(**{k: put(v) for k, v in marr_np.items()})
+    static = core_state.StaticState(**{k: put(v) for k, v in static_np.items()})
+    state = core_state.State(**{k: (None if v is None else put(v))
+                                for k, v in state_np.items()})
+    vert = jax.tree.map(lambda x: jax.device_put(x, rep), model.vert)
+
+    tables = HaloTables(
+        cell=ExchangeArrays(**{k: put(v) for k, v in table_np(p.cell_x).items()}),
+        edge=ExchangeArrays(**{k: put(v) for k, v in table_np(p.edge_x).items()}),
+        vertex=ExchangeArrays(**{k: put(v) for k, v in table_np(p.vertex_x).items()}),
+    )
+
+    sm = ShardedModel(n_shards=S, partition=p, jax_mesh=jmesh,
+                      mesh_arrays=marr, static=static, vert=vert,
+                      tables=tables, state=state, namelist=nl)
+    sm.step_fn = make_sharded_step(sm, dt=nl.config_dt)
+    return sm
+
+
+def make_sharded_step(sm: ShardedModel, dt: float):
+    nl = sm.namelist
+    sq = lambda t: jax.tree.map(lambda x: x[0], t)
+    ex = lambda t: jax.tree.map(lambda x: x[None], t)
+
+    def local_step(marr, static, vert, tables, state):
+        halo = HaloExchange(sq(tables))
+        out = srk3.atm_srk3(sq(state), sq(static), sq(marr), vert, nl, dt,
+                            halo=halo)
+        return ex(out)
+
+    mapped = jax.shard_map(
+        local_step, mesh=sm.jax_mesh,
+        in_specs=(P("dom"), P("dom"), P(), P("dom"), P("dom")),
+        out_specs=P("dom"))
+
+    @jax.jit
+    def step(state):
+        return mapped(sm.mesh_arrays, sm.static, sm.vert, sm.tables, state)
+
+    return step
+
+
+def sharded_summarize(sm: ShardedModel):
+    """Global min/max diagnostics with owned-entity masking (the psum/pmax
+    version of summarize_timestep; rk_timestep.rg:29-359)."""
+    p = sm.partition
+    cm = np.asarray(p.cell_owned_mask) > 0
+    em = np.asarray(p.edge_owned_mask) > 0
+    w = np.asarray(sm.state.w)
+    u = np.asarray(sm.state.u)
+    return dict(
+        w_min=float(w[cm].min()), w_max=float(w[cm].max()),
+        u_min=float(u[em].min()), u_max=float(u[em].max()),
+        nan_detected=bool(np.isnan(w[cm]).any() or np.isnan(u[em]).any()),
+    )
