@@ -1,0 +1,149 @@
+"""Command-line model driver: the main.rg analog.
+
+Reproduces the reference's run flow (main.rg:15-75): load mesh -> (partition)
+-> JW init -> core init -> timestep loop with per-step summaries -> history
+output, as a real CLI:
+
+    python -m mpas_tpu --grid x1.2562.grid.nc --levels 26 --steps 10 \
+        --dt 720 --output timestep_output.nc [--config namelist.json]
+        [--shards 8] [--restart ckpt.npz] [--checkpoint-every 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="python -m mpas_tpu",
+                                 description="TPU-native MPAS-Atmosphere dycore")
+    ap.add_argument("--grid", default="/root/reference/mesh_loading/x1.2562.grid.nc",
+                    help="MPAS grid netCDF (or 'generate:LEVELS' for a "
+                         "synthetic CVT mesh, e.g. generate:5 -> 10242 cells)")
+    ap.add_argument("--config", default=None, help="namelist file (JSON or name=value)")
+    ap.add_argument("--levels", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--dt", type=float, default=None)
+    ap.add_argument("--ztop", type=float, default=None)
+    ap.add_argument("--dtype", default=None, choices=["float32", "float64"])
+    ap.add_argument("--no-perturbation", action="store_true")
+    ap.add_argument("--output", default="timestep_output.nc")
+    ap.add_argument("--output-full-3d", action="store_true")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="domain-decompose over N devices (0 = single device)")
+    ap.add_argument("--metis", default=None, help="METIS partition file")
+    ap.add_argument("--restart", default=None, help="restart checkpoint to resume")
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--checkpoint-path", default="restart.npz")
+    ap.add_argument("--physics", action="store_true",
+                    help="enable the radiation/cloud physics driver")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    from .config import Namelist
+    from .dynamics.model import build_model
+    from .io.history import write_history, save_restart, load_restart
+
+    nl = Namelist.from_file(args.config) if args.config else Namelist()
+    overrides = {}
+    if args.levels is not None:
+        if args.levels < 3:
+            ap.error(f"--levels must be >= 3 (got {args.levels}): the vertical "
+                     "solver needs at least 3 mass levels")
+        overrides["config_nvertlevels"] = args.levels
+    if args.dt is not None:
+        overrides["config_dt"] = args.dt
+    if args.ztop is not None:
+        overrides["config_ztop"] = args.ztop
+    if args.steps is not None:
+        overrides["config_run_duration_steps"] = args.steps
+    if args.dtype is not None:
+        overrides["dtype"] = args.dtype
+    if args.no_perturbation:
+        overrides["config_jw_u_perturbation"] = 0.0
+    nl = nl.replace(**overrides)
+
+    log = (lambda *a: None) if args.quiet else print
+
+    mesh = None
+    if args.grid.startswith("generate:"):
+        from .mesh.generator import generate_mesh
+        levels = int(args.grid.split(":")[1])
+        log(f"generating x1.{10 * 4 ** levels + 2} CVT mesh ...")
+        mesh = generate_mesh(levels=levels)
+        grid_path = None
+    else:
+        grid_path = args.grid
+
+    t0 = time.time()
+    log(f"building model (levels={nl.config_nvertlevels}, dt={nl.config_dt}s) ...")
+    model = build_model(grid_path=grid_path or args.grid, namelist=nl, mesh=mesh)
+    log(f"model ready in {time.time() - t0:.1f}s: {model.mesh.nCells} cells, "
+        f"{model.mesh.nEdges} edges, {nl.config_nvertlevels} levels")
+
+    if args.restart:
+        load_restart(args.restart, model)
+        log(f"resumed from {args.restart} at step {model.step_count}")
+
+    runner = model
+    if args.shards > 1:
+        from .parallel.sharded import shard_model, sharded_summarize
+        import jax
+        log(f"sharding over {args.shards} devices ...")
+        runner = shard_model(model, args.shards)
+
+    phys = None
+    if args.physics:
+        from .physics.driver import physics_init
+        phys = physics_init()
+
+    n_steps = nl.config_run_duration_steps
+    t0 = time.time()
+    for step in range(n_steps):
+        runner.step(1)
+        if args.shards > 1:
+            from .parallel.sharded import sharded_summarize
+            s = sharded_summarize(runner)
+        else:
+            s = model.summarize()
+        log(f"step {model.step_count if args.shards <= 1 else step + 1}: "
+            f"w=[{s['w_min']:+.3e},{s['w_max']:+.3e}] "
+            f"u=[{s['u_min']:+.2f},{s['u_max']:+.2f}]"
+            + (" *** NaN detected ***" if s["nan_detected"] else ""))
+        if s["nan_detected"]:
+            log("aborting: NaN in prognostic fields")
+            return 1
+        if (args.checkpoint_every and args.shards <= 1
+                and (step + 1) % args.checkpoint_every == 0):
+            save_restart(args.checkpoint_path, model)
+            log(f"checkpoint -> {args.checkpoint_path}")
+    elapsed = time.time() - t0
+    log(f"{n_steps} steps in {elapsed:.2f}s "
+        f"({elapsed / max(n_steps, 1) * 1000:.1f} ms/step)")
+
+    if args.physics and args.shards <= 1:
+        import numpy as np
+        from .ops.diagnostics import output_diagnostics
+        from .physics.driver import physics_driver
+        out = output_diagnostics(model.state, model.static)
+        st = dict(theta_m=np.asarray(model.state.theta_m),
+                  exner=np.asarray(model.state.exner),
+                  pressure=np.asarray(out["pressure"]),
+                  surface_pressure=np.full(model.mesh.nCells, 1.0e5),
+                  qv=None)
+        pd = physics_driver(phys, st, model.mesh,
+                            julian=model.step_count * nl.config_dt / 86400.0)
+        log(f"physics: cldfra max={pd['cldfra'].max():.2f} "
+            f"OLR mean={pd['olr'].mean():.0f} W/m2")
+
+    if args.output and args.shards <= 1:
+        write_history(args.output, model, full_3d=args.output_full_3d)
+        log(f"history -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,8 +120,24 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
             state, save, dynamics_substep, dynamics_split,
             ruAvg_split, wwAvg_split)
 
-    # scalar transport would run here on (rho_zz_old, ruAvg, wwAvg);
-    # rediagnose the new density afterwards
+    # scalar transport on (rho_zz_old, ruAvg, wwAvg): the piece the reference
+    # leaves unfinished (rk_timestep.rg:465-469); monotonic FCT per MPAS
+    if state.scalars is not None and nl.config_scalar_advection:
+        from ..ops import scalars as scalar_ops
+        if halo is not None:
+            ruAvg = halo.edge(state.ruAvg)
+            wwAvg, rho_old = halo.cell(state.wwAvg, state.rho_zz)
+            scal = state.scalars
+            for i in range(scal.shape[-1]):
+                scal = scal.at[..., i].set(halo.cell(scal[..., i]))
+        else:
+            ruAvg, wwAvg, rho_old, scal = (state.ruAvg, state.wwAvg,
+                                           state.rho_zz, state.scalars)
+        scal_new, _ = scalar_ops.advance_scalars_mono(
+            scal, rho_old, ruAvg, wwAvg, mesh, vert, nl, dt)
+        state = state.replace(scalars=scal_new)
+
+    # rediagnose the new density after the split bookkeeping restored the old
     state = state.replace(rho_zz=state.rho_p + static.rho_base)
     return state
 

@@ -1,0 +1,159 @@
+"""Scalar (moisture) transport on the time-averaged acoustic mass fluxes.
+
+The reference leaves scalar transport unfinished everywhere (empty qtot loop
+at dynamics_tasks.rg:476-481, unused `scalars` superarray, srk3 skip at
+rk_timestep.rg:465-469; SURVEY.md section 8).  This module implements the
+intended MPAS semantics (atm_advance_scalars / atm_advance_scalars_mono):
+flux-form advection of the scalar array using ruAvg / wwAvg accumulated over
+the acoustic substeps, with
+
+  - a 3rd-order horizontal flux via the adv_coefs stencil and flux3 vertical
+    transport (atm_advance_scalars), and
+  - a monotonic (Zalesak FCT) variant that limits the high-order correction
+    against local min/max bounds, guaranteeing positivity for moisture
+    (atm_advance_scalars_mono) — expressed scatter-free with gathers.
+
+Both preserve a constant: the density used in the update is advanced with
+the *same* discrete fluxes, so scalar == 1 stays exactly 1.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import stencils as st
+
+
+def _mass_divergence(ruAvg, wwAvg, mesh, rdzw):
+    """rho update implied by the averaged fluxes: drho = -div(ruAvg) -
+    d(wwAvg)/dzeta, returned as the per-dt tendency."""
+    sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
+    h_div = st.sum_edges_to_cell(ruAvg, mesh.edgesOnCell, sign_dv) \
+        * mesh.invAreaCell[:, None]
+    return -h_div - rdzw[None, :] * st.delta(wwAvg)
+
+
+def advance_scalars(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
+    """3rd-order (non-monotonic) scalar update.
+
+    scalars [C, K, nS]; returns (scalars_new, rho_zz_new)."""
+    C, K, nS = scalars.shape
+    rdzw, fzm, fzp = vert.rdzw, vert.fzm, vert.fzp
+    rho_new = rho_zz_old + dt * _mass_divergence(ruAvg, wwAvg, mesh, rdzw)
+
+    flow_sign = jnp.sign(ruAvg)
+    sign_only = mesh.edgesOnCellSign
+    out = []
+    for s in range(nS):
+        q = scalars[:, :, s]
+        fe = st.adv_flux_on_edge(q, flow_sign, mesh.advCellsForEdge,
+                                 mesh.adv_coefs, mesh.adv_coefs_3rd)
+        h_tend = -st.sum_edges_to_cell(ruAvg * fe, mesh.edgesOnCell, sign_only) \
+            * mesh.invAreaCell[:, None]
+        wq = st.vflux_mass_to_iface(q, wwAvg, fzm, fzp, nl.config_coef_3rd_order)
+        v_tend = -rdzw[None, :] * st.delta(wq)
+        out.append((q * rho_zz_old + dt * (h_tend + v_tend)) / rho_new)
+    return jnp.stack(out, axis=-1), rho_new
+
+
+def advance_scalars_mono(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
+    """Monotonic (FCT-limited) scalar update, the MPAS default for moisture.
+
+    Low-order solution: first-order upwind fluxes (positivity-preserving).
+    High-order correction: (3rd-order flux - upwind flux), limited per edge
+    by the Zalesak factors computed from local min/max bounds."""
+    C, K, nS = scalars.shape
+    rdzw, fzm, fzp = vert.rdzw, vert.fzm, vert.fzp
+    eoc = mesh.edgesOnCell
+    coe = mesh.cellsOnEdge
+    inv_area = mesh.invAreaCell[:, None]
+    sign_only = mesh.edgesOnCellSign
+    sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, eoc)
+
+    rho_new = rho_zz_old + dt * _mass_divergence(ruAvg, wwAvg, mesh, rdzw)
+    flow_sign = jnp.sign(ruAvg)
+    up = 0.5 * (1.0 + flow_sign)          # 1 if flow from cell1 -> cell2
+
+    ww_mid = 0.5 * (wwAvg[:, :-1] + wwAvg[:, 1:])  # advector sign at interfaces
+
+    out = []
+    for s in range(nS):
+        q = scalars[:, :, s]
+        q1, q2 = st.edge_pair(q, coe)
+
+        # ---- low-order (upwind) fluxes ----
+        f_low_e = ruAvg * (up * q1 + (1.0 - up) * q2) * mesh.dvEdge[:, None]
+        # vertical upwind: interface k advects q[k-1] if wwAvg>0 else q[k]
+        w_up = jnp.sign(wwAvg)
+        qk = jnp.pad(q, ((0, 0), (0, 1)))             # q[k] for k<K
+        qkm1 = jnp.pad(q, ((0, 0), (1, 0)))           # q[k-1]
+        f_low_v = wwAvg * jnp.where(wwAvg > 0, qkm1, qk)
+        f_low_v = f_low_v.at[:, 0].set(0.0).at[:, K].set(0.0)
+
+        h_low = -st.sum_edges_to_cell(f_low_e, eoc, sign_only) * inv_area
+        v_low = -rdzw[None, :] * st.delta(f_low_v)
+        rq_td = q * rho_zz_old + dt * (h_low + v_low)   # transported-diffused
+        q_td = rq_td / rho_new
+
+        # ---- high-order fluxes and anti-diffusive corrections ----
+        fe_high = st.adv_flux_on_edge(q, flow_sign, mesh.advCellsForEdge,
+                                      mesh.adv_coefs, mesh.adv_coefs_3rd)
+        f_high_e = ruAvg * fe_high
+        a_e = f_high_e - f_low_e                        # [E, K]
+        f_high_v = st.vflux_mass_to_iface(q, wwAvg, fzm, fzp,
+                                          nl.config_coef_3rd_order)
+        a_v = (f_high_v - f_low_v).at[:, 0].set(0.0).at[:, K].set(0.0)
+
+        # ---- Zalesak limiter bounds from neighborhood min/max ----
+        q_nbr = jnp.take(q, mesh.cellsOnCell, axis=0)   # [C, M, K]
+        mask = mesh.edgesOnCell_mask[:, :, None]
+        big = 1e30
+        q_max_h = jnp.max(jnp.where(mask > 0, q_nbr, -big), axis=1)
+        q_min_h = jnp.min(jnp.where(mask > 0, q_nbr, big), axis=1)
+        q_up = jnp.concatenate([q[:, 1:], q[:, -1:]], axis=1)   # level above
+        q_dn = jnp.concatenate([q[:, :1], q[:, :-1]], axis=1)   # level below
+        q_max = jnp.maximum(jnp.maximum(q, q_max_h), jnp.maximum(q_up, q_dn))
+        q_min = jnp.minimum(jnp.minimum(q, q_min_h), jnp.minimum(q_up, q_dn))
+        q_max = jnp.maximum(q_max, q_td)
+        q_min = jnp.minimum(q_min, q_td)
+
+        # net in/out anti-diffusive fluxes per cell
+        ae_g = jnp.take(a_e, eoc, axis=0)               # [C, M, K]
+        signed = mesh.edgesOnCellSign[:, :, None] * ae_g
+        # inflow contribution to the cell is -sign*flux when positive
+        p_in_h = jnp.sum(jnp.maximum(-signed, 0.0), axis=1)
+        p_out_h = jnp.sum(jnp.maximum(signed, 0.0), axis=1)
+        # vertical: d/dzeta contributes -(a_v[k+1]-a_v[k]) * rdzw
+        a_top = a_v[:, 1:]      # interface above mass level
+        a_bot = a_v[:, :-1]
+        p_in_v = (jnp.maximum(-a_top, 0.0) + jnp.maximum(a_bot, 0.0))
+        p_out_v = (jnp.maximum(a_top, 0.0) + jnp.maximum(-a_bot, 0.0))
+
+        p_in = dt * (p_in_h * inv_area + p_in_v * rdzw[None, :])
+        p_out = dt * (p_out_h * inv_area + p_out_v * rdzw[None, :])
+
+        tiny = 1e-30
+        r_plus = jnp.minimum(1.0, (q_max - q_td) * rho_new / (p_in + tiny))
+        r_minus = jnp.minimum(1.0, (q_td - q_min) * rho_new / (p_out + tiny))
+        r_plus = jnp.maximum(r_plus, 0.0)
+        r_minus = jnp.maximum(r_minus, 0.0)
+
+        # edge limiter: min of donor r_minus and receiver r_plus
+        rp1, rp2 = st.edge_pair(r_plus, coe)
+        rm1, rm2 = st.edge_pair(r_minus, coe)
+        # positive a_e moves mass from cell1 to cell2
+        lim_e = jnp.where(a_e > 0, jnp.minimum(rm1, rp2), jnp.minimum(rm2, rp1))
+        a_e_lim = lim_e * a_e
+        # vertical at interface k: positive a_v moves from k-1 to k
+        rpk = jnp.pad(r_plus, ((0, 0), (0, 1)))
+        rpkm = jnp.pad(r_plus, ((0, 0), (1, 0)))
+        rmk = jnp.pad(r_minus, ((0, 0), (0, 1)))
+        rmkm = jnp.pad(r_minus, ((0, 0), (1, 0)))
+        lim_v = jnp.where(a_v > 0, jnp.minimum(rmkm, rpk), jnp.minimum(rmk, rpkm))
+        a_v_lim = (lim_v * a_v).at[:, 0].set(0.0).at[:, K].set(0.0)
+
+        h_corr = -st.sum_edges_to_cell(a_e_lim, eoc, sign_only) * inv_area
+        v_corr = -rdzw[None, :] * st.delta(a_v_lim)
+        q_new = (rq_td + dt * (h_corr + v_corr)) / rho_new
+        out.append(q_new)
+    return jnp.stack(out, axis=-1), rho_new

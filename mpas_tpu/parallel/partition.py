@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..mesh.loader import Mesh
+from . import native
 
 HALO_RINGS = 3
 
@@ -38,10 +39,16 @@ def read_metis_partition(path: str, n_cells: int) -> np.ndarray:
     return part.astype(np.int32)
 
 
-def geometric_partition(mesh: Mesh, n_shards: int) -> np.ndarray:
+def geometric_partition(mesh: Mesh, n_shards: int,
+                        use_native: bool | None = None) -> np.ndarray:
     """Recursive coordinate bisection on cell positions: a METIS-free
-    fallback partitioner producing compact, balanced shards for any mesh."""
+    fallback partitioner producing compact, balanced shards for any mesh.
+    Uses the native C++ kernel (native/mesh_preprocess.cpp) when available."""
     xyz = np.stack([mesh.xCell, mesh.yCell, mesh.zCell], axis=1)
+    if use_native is None:
+        use_native = native.available()
+    if use_native:
+        return native.rcb_partition(xyz, n_shards)
     assign = np.zeros(mesh.nCells, dtype=np.int32)
 
     def split(idx, lo, hi):
@@ -107,7 +114,8 @@ class ShardedPartition:
 
 def _grow_rings(mesh: Mesh, owned: np.ndarray, rings: int):
     """Return (ordered local cells, in_local bool[C]) with owned first then
-    rings 1..`rings` in order."""
+    rings 1..`rings` in order (sorted within each ring; identical output from
+    the native and numpy paths)."""
     in_local = np.zeros(mesh.nCells, dtype=bool)
     in_local[owned] = True
     ordered = [owned]
