@@ -40,6 +40,8 @@ def main(argv=None):
     ap.add_argument("--checkpoint-path", default="restart.npz")
     ap.add_argument("--physics", action="store_true",
                     help="enable the radiation/cloud physics driver")
+    ap.add_argument("--radt-steps", type=int, default=5,
+                    help="dynamics steps between radiation calls (>= 1)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -97,12 +99,20 @@ def main(argv=None):
 
     phys = None
     if args.physics:
+        if args.radt_steps < 1:
+            ap.error(f"--radt-steps must be >= 1 (got {args.radt_steps})")
         from .physics.driver import physics_init
         phys = physics_init()
 
     n_steps = nl.config_run_duration_steps
     t0 = time.time()
     for step in range(n_steps):
+        if phys is not None and args.shards <= 1 and step % args.radt_steps == 0:
+            pd = model.apply_physics(phys)
+            log(f"  physics: cldfra max={pd['cldfra'].max():.2f} "
+                f"OLR mean={pd['olr'].mean():.0f} W/m2 "
+                f"qr range=[{(pd['qrl'].min()*86400):.1f},"
+                f"{(pd['qrs'].max()*86400):.1f}] K/day")
         runner.step(1)
         if args.shards > 1:
             from .parallel.sharded import sharded_summarize
@@ -123,21 +133,6 @@ def main(argv=None):
     elapsed = time.time() - t0
     log(f"{n_steps} steps in {elapsed:.2f}s "
         f"({elapsed / max(n_steps, 1) * 1000:.1f} ms/step)")
-
-    if args.physics and args.shards <= 1:
-        import numpy as np
-        from .ops.diagnostics import output_diagnostics
-        from .physics.driver import physics_driver
-        out = output_diagnostics(model.state, model.static)
-        st = dict(theta_m=np.asarray(model.state.theta_m),
-                  exner=np.asarray(model.state.exner),
-                  pressure=np.asarray(out["pressure"]),
-                  surface_pressure=np.full(model.mesh.nCells, 1.0e5),
-                  qv=None)
-        pd = physics_driver(phys, st, model.mesh,
-                            julian=model.step_count * nl.config_dt / 86400.0)
-        log(f"physics: cldfra max={pd['cldfra'].max():.2f} "
-            f"OLR mean={pd['olr'].mean():.0f} W/m2")
 
     if args.output and args.shards <= 1:
         write_history(args.output, model, full_3d=args.output_full_3d)

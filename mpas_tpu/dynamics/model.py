@@ -53,6 +53,33 @@ class Model:
             self.step_count += 1
         return self.state
 
+    def apply_physics(self, phys, julian: float | None = None):
+        """Run the physics driver on the current state and couple the
+        radiative heating into the dycore via rt_diabatic_tend (the
+        physics_driver -> atm_do_timestep coupling, atm_core.rg:64-68).
+
+        Host-side per radiation interval, like MPAS's hourly radiation
+        cadence against 12-minute dynamics steps."""
+        import numpy as np
+        from ..ops.diagnostics import output_diagnostics
+        from ..physics.driver import physics_driver
+        if julian is None:
+            julian = self.step_count * self.namelist.config_dt / 86400.0
+        out = output_diagnostics(self.state, self.static)
+        pressure = np.asarray(out["pressure"])
+        vg = self.vgrid
+        sp = (vg.cf1 * pressure[:, 0] + vg.cf2 * pressure[:, 1]
+              + vg.cf3 * pressure[:, 2])
+        qv = (np.asarray(self.state.scalars[..., 0])
+              if self.state.scalars is not None else None)
+        st = dict(theta_m=np.asarray(self.state.theta_m),
+                  exner=np.asarray(self.state.exner),
+                  pressure=pressure, surface_pressure=sp, qv=qv)
+        pd = physics_driver(phys, st, self.mesh, julian)
+        self.state = self.state.replace(
+            rt_diabatic_tend=jnp.asarray(pd["rthraten"], self.dtype))
+        return pd
+
     def summarize(self):
         return {k: float(v) for k, v in
                 srk3.summarize_timestep(self.state, self.mesh_arrays).items()}
