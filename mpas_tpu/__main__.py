@@ -80,8 +80,20 @@ def main(argv=None):
     else:
         grid_path = args.grid
 
+    # MPAS rule of thumb: dt ~ 6 s per km of cell spacing; apply when the
+    # user did not set an explicit dt (avoids acoustic CFL violation on
+    # finer meshes than the 480 km default)
+    if args.dt is None and args.config is None:
+        import numpy as _np
+        if mesh is not None:
+            dx_km = float(_np.mean(mesh.dcEdge)) / 1e3
+        else:
+            from .mesh.loader import load_mesh as _lm
+            mesh = _lm(grid_path or args.grid)
+            dx_km = float(_np.mean(mesh.dcEdge)) / 1e3
+        nl = nl.replace(config_dt=min(720.0, 6.0 * dx_km))
     t0 = time.time()
-    log(f"building model (levels={nl.config_nvertlevels}, dt={nl.config_dt}s) ...")
+    log(f"building model (levels={nl.config_nvertlevels}, dt={nl.config_dt:.0f}s) ...")
     model = build_model(grid_path=grid_path or args.grid, namelist=nl, mesh=mesh)
     log(f"model ready in {time.time() - t0:.1f}s: {model.mesh.nCells} cells, "
         f"{model.mesh.nEdges} edges, {nl.config_nvertlevels} levels")

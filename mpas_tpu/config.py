@@ -85,6 +85,7 @@ class Namelist:
 
     # --- optional physics/numerics toggles (MPAS #ifdef CURVATURE etc.) ---
     config_curvature: bool = True             # spherical curvature terms
+    config_use_pallas_acoustic: bool = False  # fused Pallas acoustic column kernel
     config_divergence_damping: bool = True    # 3-D divergence damping
     config_smagorinsky: bool = True           # horizontal Smagorinsky/del4 mixing
 

@@ -206,6 +206,14 @@ def mesh_arrays_from_mesh(mesh: Mesh, namelist, dtype=jnp.float32,
         deriv_two = mcoef.compute_deriv_two(mesh)
     adv = mcoef.compute_advection_coefficients(
         mesh, deriv_two, coef_3rd_order=namelist.config_coef_3rd_order)
+    # trim the advection stencil to its true width (10 on hex meshes vs the
+    # FIFTEEN padding) — the [E, S, K] advection gathers are the hottest
+    s_used = int(adv.nAdvCellsForEdge.max())
+    if s_used < adv.advCellsForEdge.shape[1]:
+        adv.advCellsForEdge = np.ascontiguousarray(adv.advCellsForEdge[:, :s_used])
+        adv.advMaskForEdge = np.ascontiguousarray(adv.advMaskForEdge[:, :s_used])
+        adv.adv_coefs = np.ascontiguousarray(adv.adv_coefs[:, :s_used])
+        adv.adv_coefs_3rd = np.ascontiguousarray(adv.adv_coefs_3rd[:, :s_used])
     coeffs_reconstruct = mcoef.compute_reconstruct_coefficients(mesh)
     defc_a, defc_b = mcoef.compute_deformation_weights(mesh)
     ms2, ms4 = mcoef.compute_mesh_scaling(mesh, namelist.config_h_ScaleWithMesh)

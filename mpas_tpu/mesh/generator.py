@@ -16,7 +16,7 @@ import numpy as np
 from scipy.spatial import ConvexHull
 
 from .. import constants
-from .loader import Mesh, _compute_signs
+from .loader import Mesh, _compute_signs, trim_mesh_widths
 
 
 # ---------------------------------------------------------------------------
@@ -137,23 +137,20 @@ def generate_mesh(levels: int = 4, lloyd_iterations: int = 4,
     V = len(tris)
     vxyz = _circumcenters(pts, tris)
 
-    # --- edges from triangle adjacency ---
-    edge_map = {}
-    cellsOnEdge = []
-    verticesOnEdge = []
-    for t_idx, t in enumerate(tris):
-        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-            key = (min(a, b), max(a, b))
-            if key in edge_map:
-                e, first_tri = edge_map[key]
-                verticesOnEdge[e][1] = t_idx
-            else:
-                edge_map[key] = (len(cellsOnEdge), t_idx)
-                cellsOnEdge.append([a, b])
-                verticesOnEdge.append([t_idx, -1])
-    E = len(cellsOnEdge)
-    cellsOnEdge = np.array(cellsOnEdge, dtype=np.int64)
-    verticesOnEdge = np.array(verticesOnEdge, dtype=np.int64)
+    # --- edges from triangle adjacency (vectorized: sort by pair key; every
+    # edge appears in exactly two triangles) ---
+    pairs = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    tri_of_pair = np.concatenate([np.arange(V)] * 3).astype(np.int64)
+    key = (np.minimum(pairs[:, 0], pairs[:, 1]) * np.int64(C)
+           + np.maximum(pairs[:, 0], pairs[:, 1]))
+    order = np.argsort(key, kind="stable")
+    E = len(order) // 2
+    k_sorted = key[order]
+    assert np.all(k_sorted[0::2] == k_sorted[1::2])
+    cellsOnEdge = np.stack([k_sorted[0::2] // C, k_sorted[0::2] % C], axis=1)
+    verticesOnEdge = np.stack([tri_of_pair[order[0::2]],
+                               tri_of_pair[order[1::2]]], axis=1)
+    edge_key_sorted = k_sorted[0::2]          # ascending, for edge lookup
 
     # orientation: v1 -> v2 must be 90 deg counterclockwise from c1 -> c2
     # (t_hat = k_hat x n_hat), matching the bundled grid's convention
@@ -165,51 +162,54 @@ def generate_mesh(levels: int = 4, lloyd_iterations: int = 4,
     wrong = np.einsum("ij,ij->i", cross, emid) < 0
     verticesOnEdge[wrong] = verticesOnEdge[wrong][:, ::-1]
 
-    # --- per-cell orderings (CCW) ---
+    # --- per-cell orderings (CCW), vectorized over all (cell, edge) pairs ---
     maxEdges = 6
-    nEdgesOnCell = np.zeros(C, dtype=np.int32)
-    edgesOnCell = np.zeros((C, maxEdges), dtype=np.int64)
-    cell_edges = [[] for _ in range(C)]
-    for e in range(E):
-        cell_edges[cellsOnEdge[e, 0]].append(e)
-        cell_edges[cellsOnEdge[e, 1]].append(e)
-
     east = np.cross([0.0, 0.0, 1.0], pts)
     east /= np.maximum(np.linalg.norm(east, axis=1, keepdims=True), 1e-12)
     north = np.cross(pts, east)
 
-    for c in range(C):
-        es = np.array(cell_edges[c])
-        other = np.where(cellsOnEdge[es, 0] == c, cellsOnEdge[es, 1],
-                         cellsOnEdge[es, 0])
-        d = pts[other] - pts[c]
-        ang = np.arctan2(d @ north[c], d @ east[c])
-        o = np.argsort(ang)               # CCW ordering
-        es = es[o]
-        nEdgesOnCell[c] = len(es)
-        edgesOnCell[c, :len(es)] = es
+    pair_cell = np.concatenate([cellsOnEdge[:, 0], cellsOnEdge[:, 1]])
+    pair_edge = np.tile(np.arange(E, dtype=np.int64), 2)
+    pair_other = np.concatenate([cellsOnEdge[:, 1], cellsOnEdge[:, 0]])
+    d = pts[pair_other] - pts[pair_cell]
+    ang = np.arctan2(np.einsum("pj,pj->p", d, north[pair_cell]),
+                     np.einsum("pj,pj->p", d, east[pair_cell]))
+    po = np.lexsort((ang, pair_cell))
+    pc, pe = pair_cell[po], pair_edge[po]
+    counts = np.bincount(pc, minlength=C)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_cell = np.arange(2 * E) - starts[pc]
+    nEdgesOnCell = counts.astype(np.int32)
+    edgesOnCell = np.zeros((C, maxEdges), dtype=np.int64)
+    edgesOnCell[pc, pos_in_cell] = pe
+    # position of each edge within each of its two cells' CCW lists
+    j0_of = np.zeros((E, 2), dtype=np.int64)
+    side = (pair_other[po] == cellsOnEdge[pe, 0]).astype(np.int64)  # 1 if pc is cell2
+    j0_of[pe, side] = pos_in_cell
 
-    cellsOnCell = np.zeros((C, maxEdges), dtype=np.int64)
-    verticesOnCell = np.zeros((C, maxEdges), dtype=np.int64)
-    for c in range(C):
-        n = nEdgesOnCell[c]
-        es = edgesOnCell[c, :n]
-        cellsOnCell[c, :n] = np.where(cellsOnEdge[es, 0] == c,
-                                      cellsOnEdge[es, 1], cellsOnEdge[es, 0])
-        # vertex i of the cell: shared by edges i and i+1 (CCW)
-        for i in range(n):
-            e1, e2 = es[i], es[(i + 1) % n]
-            shared = set(verticesOnEdge[e1]) & set(verticesOnEdge[e2])
-            verticesOnCell[c, i] = shared.pop()
+    ecol = np.arange(maxEdges)[None, :]
+    emask = ecol < nEdgesOnCell[:, None]
+    eoc_safe = np.where(emask, edgesOnCell, 0)
+    cellsOnCell = np.where(
+        cellsOnEdge[eoc_safe, 0] == np.arange(C)[:, None],
+        cellsOnEdge[eoc_safe, 1], cellsOnEdge[eoc_safe, 0])
+    cellsOnCell = np.where(emask, cellsOnCell, 0)
+    # vertex i of the cell: shared by CCW edges i and i+1
+    nxt = (ecol + 1) % nEdgesOnCell[:, None]
+    eoc_next = np.where(emask, edgesOnCell[np.arange(C)[:, None], nxt], 0)
+    v1 = verticesOnEdge[eoc_safe]            # [C, M, 2]
+    v2 = verticesOnEdge[eoc_next]
+    shared_is_0 = ((v1[..., 0] == v2[..., 0]) | (v1[..., 0] == v2[..., 1]))
+    verticesOnCell = np.where(shared_is_0, v1[..., 0], v1[..., 1])
+    verticesOnCell = np.where(emask, verticesOnCell, 0)
 
     cellsOnVertex = tris.astype(np.int64)             # [V, 3] CCW
-    # edgesOnVertex: edge between consecutive cells of the triangle
-    edgesOnVertex = np.zeros((V, 3), dtype=np.int64)
-    for v in range(V):
-        cs = cellsOnVertex[v]
-        for i in range(3):
-            a, b = cs[i], cs[(i + 1) % 3]
-            edgesOnVertex[v, i] = edge_map[(min(a, b), max(a, b))][0]
+    # edgesOnVertex: edge between consecutive cells of the triangle, found by
+    # binary search on the sorted edge keys
+    a_ = cellsOnVertex
+    b_ = np.roll(cellsOnVertex, -1, axis=1)
+    vkey = (np.minimum(a_, b_) * np.int64(C) + np.maximum(a_, b_))
+    edgesOnVertex = np.searchsorted(edge_key_sorted, vkey).astype(np.int64)
 
     # --- geometry ---
     dcEdge = _arc(c1p, c2p)
@@ -253,39 +253,37 @@ def generate_mesh(levels: int = 4, lloyd_iterations: int = 4,
     areaCell = np.zeros(C)
     np.add.at(areaCell, cellsOnVertex.ravel(), kiteAreasOnVertex.ravel())
 
-    # --- Thuburn tangential weights (Ringler et al 2010 eq 33) ---
-    maxEdges2 = 2 * maxEdges
+    # --- Thuburn tangential weights (Ringler et al 2010 eq 33), vectorized ---
+    maxEdges2 = 2 * (maxEdges - 1)
     nEdgesOnEdge = np.zeros(E, dtype=np.int32)
     edgesOnEdge = np.zeros((E, maxEdges2), dtype=np.int64)
     weightsOnEdge = np.zeros((E, maxEdges2))
-    # per-cell kite area share of each vertex slot
-    kite_for = {}
-    for v in range(V):
-        for i in range(3):
-            kite_for[(int(cellsOnVertex[v, i]), v)] = kiteAreasOnVertex[v, i]
+    # kite share of each (cell, vertex-slot): kiteAreasOnVertex row of the
+    # vertex, at the position where that cell appears in cellsOnVertex
+    cov_of_voc = cellsOnVertex[verticesOnCell]            # [C, M, 3]
+    kpos = np.argmax(cov_of_voc == np.arange(C)[:, None, None], axis=2)
+    kite_cv = np.take_along_axis(kiteAreasOnVertex[verticesOnCell],
+                                 kpos[..., None], axis=2)[..., 0]   # [C, M]
+    kite_cv = np.where(emask, kite_cv, 0.0)
 
-    for e in range(E):
-        slot = 0
-        for side, c in enumerate(cellsOnEdge[e]):
-            n = nEdgesOnCell[c]
-            es = edgesOnCell[c, :n]
-            j0 = int(np.nonzero(es == e)[0][0])
-            R = 0.0
-            for j in range(1, n):
-                f = int(es[(j0 + j) % n])
-                # vertex between previous edge and f (CCW): vertex index
-                # (j0 + j - 1) mod n of the cell
-                v = int(verticesOnCell[c, (j0 + j - 1) % n])
-                R += kite_for[(c, v)] / areaCell[c]
-                # orientation factors: +1 if c is cellsOnEdge[0] of the
-                # respective edge
-                ne_c = 1.0 if cellsOnEdge[e, 0] == c else -1.0
-                nf_c = 1.0 if cellsOnEdge[f, 0] == c else -1.0
-                w = ne_c * nf_c * (0.5 - R) * dvEdge[f] / dcEdge[e]
-                edgesOnEdge[e, slot] = f
-                weightsOnEdge[e, slot] = w
-                slot += 1
-        nEdgesOnEdge[e] = slot
+    eidx = np.arange(E, dtype=np.int64)
+    for s in range(2):
+        c = cellsOnEdge[:, s]                              # [E]
+        n = nEdgesOnCell[c].astype(np.int64)               # [E]
+        j0 = j0_of[:, s]
+        ne_c = 1.0 if s == 0 else -1.0
+        R = np.zeros(E)
+        for j in range(1, maxEdges):
+            valid = j < n
+            fj = edgesOnCell[c, (j0 + j) % n]              # [E]
+            vslot = (j0 + j - 1) % n
+            R = R + np.where(valid, kite_cv[c, vslot] / areaCell[c], 0.0)
+            nf_c = np.where(cellsOnEdge[fj, 0] == c, 1.0, -1.0)
+            w = ne_c * nf_c * (0.5 - R) * dvEdge[fj] / dcEdge[eidx]
+            slot = (j - 1) + s * np.maximum(nEdgesOnCell[cellsOnEdge[:, 0]] - 1, 0)
+            edgesOnEdge[eidx, slot] = np.where(valid, fj, edgesOnEdge[eidx, slot])
+            weightsOnEdge[eidx, slot] = np.where(valid, w, weightsOnEdge[eidx, slot])
+            nEdgesOnEdge += valid.astype(np.int32)
 
     # --- assemble Mesh (scaled to sphere_radius) ---
     a = sphere_radius
@@ -325,4 +323,5 @@ def generate_mesh(levels: int = 4, lloyd_iterations: int = 4,
     cols2 = np.arange(maxEdges2)[None, :]
     m.edgesOnEdge_mask = (cols2 < nEdgesOnEdge[:, None]).astype(np.float64)
     _compute_signs(m)
+    trim_mesh_widths(m)
     return m

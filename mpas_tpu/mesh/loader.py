@@ -190,7 +190,58 @@ def load_mesh(path: str, sphere_radius: float = constants.sphere_radius) -> Mesh
     m.edgesOnVertex, _ = _to_zero_based(raw["edgesOnVertex"], None)
 
     _compute_signs(m)
+    trim_mesh_widths(m)
     return m
+
+
+def trim_mesh_widths(m: Mesh) -> Mesh:
+    """Trim padded adjacency widths to their actual maxima.
+
+    The file format pads cellsOnCell/edgesOnCell/verticesOnCell to
+    maxEdges=10 and edgesOnEdge/weightsOnEdge to maxEdges2=20, but hexagonal
+    CVT meshes use at most 6 and 10 slots — gathers over the padding are
+    pure wasted HBM traffic (the widest gathers in the solver).  Safe because
+    every consumer is width-agnostic and masked."""
+    me = int(m.nEdgesOnCell.max())
+    mee = int(m.nEdgesOnEdge.max())
+    if me < m.maxEdges:
+        for f in ("cellsOnCell", "edgesOnCell", "verticesOnCell",
+                  "edgesOnCell_mask", "edgesOnCellSign", "kiteForCell"):
+            setattr(m, f, np.ascontiguousarray(getattr(m, f)[:, :me]))
+        m.maxEdges = me
+    if mee < m.maxEdges2:
+        for f in ("edgesOnEdge", "edgesOnEdge_mask", "weightsOnEdge"):
+            setattr(m, f, np.ascontiguousarray(getattr(m, f)[:, :mee]))
+        m.maxEdges2 = mee
+    return m
+
+
+def compute_evc(m: Mesh) -> np.ndarray:
+    """EVC triples [C, maxEdges, 3]: for vertex slot j of each cell,
+    (vertex id, edge1, edge2) where edge1/edge2 are the (up to two) edges of
+    the cell incident to that vertex (-1 when absent).  Parity feature with
+    the reference's brute-force EVC loop (mesh_loading.rg:306-344), used by
+    its plotting/partitioning tooling; vectorized here."""
+    C, M = m.nCells, m.maxEdges
+    evc = np.full((C, M, 3), -1, dtype=np.int32)
+    evc[:, :, 0] = np.where(m.edgesOnCell_mask > 0, m.verticesOnCell, -1)
+    # an edge of the cell is incident to the vertex iff the vertex appears in
+    # its verticesOnEdge pair
+    voe = m.verticesOnEdge[m.edgesOnCell]            # [C, M, 2]
+    for j in range(M):
+        v = m.verticesOnCell[:, j][:, None]          # [C, 1]
+        hit = ((voe[:, :, 0] == v) | (voe[:, :, 1] == v)) & (m.edgesOnCell_mask > 0)
+        hit &= (m.edgesOnCell_mask[:, j] > 0)[:, None]
+        # first and second matching edge slots
+        first = np.argmax(hit, axis=1)
+        has1 = hit.any(axis=1)
+        hit2 = hit.copy()
+        hit2[np.arange(C), first] = False
+        second = np.argmax(hit2, axis=1)
+        has2 = hit2.any(axis=1)
+        evc[:, j, 1] = np.where(has1, m.edgesOnCell[np.arange(C), first], -1)
+        evc[:, j, 2] = np.where(has2, m.edgesOnCell[np.arange(C), second], -1)
+    return evc
 
 
 def _compute_signs(m: Mesh):

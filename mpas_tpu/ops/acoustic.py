@@ -210,6 +210,28 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
     ts = (rtheta_pp + dts * tend.tend_theta + ts0
           - resm * rdzw[None, :] * d_ctz)
 
+    if getattr(nl, "config_use_pallas_acoustic", False):
+        # fused Pallas column kernel: rs/ts assembly, implicit solve, damping
+        # and recovery in one VMEM-resident pass (ops/pallas_acoustic.py)
+        from . import pallas_acoustic
+        zz_i2 = st.interface_interp(static.zz, fzm, fzp)
+        rho_i2 = st.interface_interp(state.rho_zz, fzm, fzp)
+        dss_i2 = jnp.concatenate(
+            [jnp.zeros((C, 1), static.zz.dtype), static.dss[:, 1:],
+             jnp.zeros((C, 1), static.zz.dtype)], axis=1)
+        import jax as _jax
+        interp = _jax.default_backend() != "tpu"
+        rho_pp_n, rtheta_pp_n, rw_p_n, wwAvg_n = pallas_acoustic.acoustic_column_update(
+            rs0 + dts * tend.tend_rho, ts0 + dts * tend.tend_theta,
+            rho_pp, rtheta_pp, rw_p, wwAvg,
+            jnp.zeros_like(rho_pp), jnp.zeros_like(rtheta_pp), tend.tend_w,
+            coefs, static.zz, dss_i2, zz_i2 * rho_i2, state.w,
+            save.rw_save - state.rw, dts, epssm, interpret=interp)
+        ac_new = AcousticState(ru_p=ru_p, rho_pp=rho_pp_n,
+                               rtheta_pp=rtheta_pp_n,
+                               rtheta_pp_old=rtheta_pp_old, rw_p=rw_p_n)
+        return ac_new, ruAvg, wwAvg_n
+
     # vertically implicit w update on interfaces 1..K-1
     km = slice(1, K)
     wwAvg = wwAvg.at[:, km].add(0.5 * (1.0 - epssm) * rw_p[:, km])

@@ -83,3 +83,31 @@ def test_output_diagnostics(model):
     assert p.min() > 0 and p[:, 0].max() < 1.1e5
     rho = np.asarray(out["rho"])
     assert rho.min() > 0 and rho[:, 0].max() < 1.5
+
+
+def test_dynamics_split_three():
+    """config_dynamics_split_steps=3 (the MPAS default the reference sets to
+    1 'temporarily', constants.rg:60) integrates stably."""
+    from mpas_tpu.config import Namelist
+    from mpas_tpu.dynamics.model import build_model
+    from mpas_tpu.mesh.generator import generate_mesh
+    mesh = generate_mesh(levels=3, lloyd_iterations=2)
+    nl = Namelist(config_nvertlevels=6, config_ztop=30000.0, dtype="float64",
+                  config_jw_u_perturbation=0.0, config_dynamics_split_steps=3)
+    m = build_model(namelist=nl, mesh=mesh)
+    for _ in range(3):
+        m.step()
+    s = m.summarize()
+    assert not s["nan_detected"]
+    assert abs(s["u_max"]) < 40.0 and abs(s["w_min"]) < 0.5
+
+
+def test_hollingsworth_ke(model):
+    """The Hollingsworth KE blend runs and stays within the plain-KE scale."""
+    d0 = D.compute_solve_diagnostics(model.state, model.mesh_arrays,
+                                     hollingsworth=False, reconstruct_v=False)
+    d1 = D.compute_solve_diagnostics(model.state, model.mesh_arrays,
+                                     hollingsworth=True, reconstruct_v=False)
+    import numpy as np
+    r = float(np.abs(np.asarray(d1["ke"])).max() / np.abs(np.asarray(d0["ke"])).max())
+    assert 0.5 < r < 1.5

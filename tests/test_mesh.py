@@ -14,7 +14,9 @@ def test_validate(mesh):
 
 def test_dims(mesh):
     assert (mesh.nCells, mesh.nEdges, mesh.nVertices) == (2562, 7680, 5120)
-    assert mesh.maxEdges == 10 and mesh.vertexDegree == 3
+    # widths are trimmed to the true maxima (trim_mesh_widths)
+    assert mesh.maxEdges == 6 and mesh.vertexDegree == 3
+    assert mesh.maxEdges2 == 10
 
 
 def test_scaling(mesh):
