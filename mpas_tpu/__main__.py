@@ -85,13 +85,14 @@ def main(argv=None):
     # finer meshes than the 480 km default)
     if args.dt is None and args.config is None:
         import numpy as _np
-        if mesh is not None:
-            dx_km = float(_np.mean(mesh.dcEdge)) / 1e3
-        else:
+        if mesh is None:
             from .mesh.loader import load_mesh as _lm
             mesh = _lm(grid_path or args.grid)
-            dx_km = float(_np.mean(mesh.dcEdge)) / 1e3
-        nl = nl.replace(config_dt=min(720.0, 6.0 * dx_km))
+        # use the MINIMUM spacing: cs*(dt/2)/dx_min = 0.17*a at a s/km
+        dx_km = float(_np.min(mesh.dcEdge)) / 1e3
+        # 4 s/km keeps the acoustic CFL ~0.65 with 2 substeps (6 s/km is
+        # marginal at CFL ~1 and unstable on imperfect CVT meshes)
+        nl = nl.replace(config_dt=min(720.0, 4.0 * dx_km))
     t0 = time.time()
     log(f"building model (levels={nl.config_nvertlevels}, dt={nl.config_dt:.0f}s) ...")
     model = build_model(grid_path=grid_path or args.grid, namelist=nl, mesh=mesh)

@@ -100,6 +100,15 @@ def build_model(grid_path: str = DEFAULT_GRID,
     vg = make_vertical_grid(nl.config_nvertlevels, nl.config_ztop,
                             nl.config_vertical_stretch)
 
+    # acoustic CFL guard: cs * dts / dx with dts = dt / number_of_sub_steps
+    import warnings
+    cfl = 340.0 * (nl.config_dt / nl.config_number_of_sub_steps) / mesh.dcEdge.min()
+    if cfl > 0.72:
+        warnings.warn(
+            f"acoustic CFL {cfl:.2f} > 0.72 (dt={nl.config_dt}, min dx="
+            f"{mesh.dcEdge.min()/1e3:.0f} km): reduce config_dt (~6 s/km) or "
+            f"raise config_number_of_sub_steps", stacklevel=2)
+
     deriv_two = mcoef.compute_deriv_two(mesh)
     marr = core_state.mesh_arrays_from_mesh(mesh, nl, dtype, deriv_two=deriv_two)
     vert = core_state.vertical_arrays_from_grid(vg, dtype)

@@ -61,19 +61,31 @@ def subdivide(points, levels: int):
 
 
 def lloyd_relax(points, iterations: int = 4):
-    """Spherical Lloyd iterations toward a centroidal Voronoi tessellation."""
+    """Spherical Lloyd iterations toward a centroidal Voronoi tessellation.
+
+    Each generator moves to the (area-weighted) centroid of its Voronoi
+    cell, computed exactly from the kite decomposition: the part of the cell
+    inside each Delaunay triangle is the kite (p, m1, circumcenter, m2),
+    split into two planar sub-triangles."""
     for _ in range(iterations):
         tris = _triangulate(points)
-        # triangle circumcenters (dual vertices)
         cc = _circumcenters(points, tris)
-        areas = _triangle_areas(points, tris)
-        # Voronoi centroid approximated by the kite-area-weighted mean of
-        # circumcenters around each generator
         num = np.zeros_like(points)
         den = np.zeros(len(points))
-        for j in range(3):
-            np.add.at(num, tris[:, j], cc * areas[:, None])
-            np.add.at(den, tris[:, j], areas)
+        for corner in range(3):
+            idx = tris[:, corner]
+            p = points[idx]
+            pn = points[tris[:, (corner + 1) % 3]]
+            pp = points[tris[:, (corner + 2) % 3]]
+            m1 = p + pn
+            m1 /= np.linalg.norm(m1, axis=1, keepdims=True)
+            m2 = p + pp
+            m2 /= np.linalg.norm(m2, axis=1, keepdims=True)
+            for a, b in ((m1, cc), (cc, m2)):
+                area = 0.5 * np.linalg.norm(np.cross(a - p, b - p), axis=1)
+                cen = (p + a + b) / 3.0
+                np.add.at(num, idx, cen * area[:, None])
+                np.add.at(den, idx, area)
         new = num / den[:, None]
         points = new / np.linalg.norm(new, axis=1, keepdims=True)
     return points
