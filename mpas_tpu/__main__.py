@@ -72,10 +72,10 @@ def main(argv=None):
 
     mesh = None
     if args.grid.startswith("generate:"):
-        from .mesh.generator import generate_mesh
+        from .mesh.writer import generate_and_cache
         levels = int(args.grid.split(":")[1])
-        log(f"generating x1.{10 * 4 ** levels + 2} CVT mesh ...")
-        mesh = generate_mesh(levels=levels)
+        log(f"generating (or loading cached) x1.{10 * 4 ** levels + 2} CVT mesh ...")
+        mesh = generate_and_cache(levels)
         grid_path = None
     else:
         grid_path = args.grid

@@ -63,3 +63,21 @@ def test_netcdf_roundtrip(tmp_path, mesh):
     back = read_netcdf(path)
     np.testing.assert_array_equal(back["latCell"], mesh.latCell)
     np.testing.assert_array_equal(back["edgesOnCell"], mesh.edgesOnCell)
+
+
+def test_grid_writer_roundtrip(tmp_path):
+    """save_grid -> load_mesh round-trip: topology and orientation identical,
+    geometry to 1e-9 (the write_output verification, mesh_loading.rg:490)."""
+    from mpas_tpu.mesh.generator import generate_mesh
+    from mpas_tpu.mesh.writer import save_grid
+    from mpas_tpu.mesh.loader import load_mesh
+    m = generate_mesh(levels=3, lloyd_iterations=2)
+    path = str(tmp_path / "gen.grid.nc")
+    save_grid(m, path)
+    m2 = load_mesh(path)
+    m2.validate()
+    np.testing.assert_array_equal(m.cellsOnEdge, m2.cellsOnEdge)
+    np.testing.assert_array_equal(m.edgesOnCell, m2.edgesOnCell)
+    np.testing.assert_array_equal(m.edgesOnCellSign, m2.edgesOnCellSign)
+    np.testing.assert_allclose(m.weightsOnEdge, m2.weightsOnEdge, atol=1e-12)
+    np.testing.assert_allclose(m.dvEdge, m2.dvEdge, rtol=1e-12)
