@@ -56,6 +56,12 @@ def get_mpas_patches(data, pickle_path=None):
 def plot_variable(nc_path, var, level=0, out=None, cmap="viridis"):
     data = read_netcdf(nc_path)
     coll = get_mpas_patches(data, pickle_path=nc_path + ".patches.pkl")
+    if var not in data:
+        plottable = sorted(k for k, v in data.items()
+                           if getattr(v, "ndim", 0) >= 1
+                           and v.shape[0] == len(data["lonCell"]))
+        raise SystemExit(f"plot.py: variable {var!r} not in {nc_path}; "
+                         f"cell variables available: {', '.join(plottable)}")
     field = data[var]
     if field.ndim == 2:
         field = field[:, min(level, field.shape[1] - 1)]
