@@ -177,6 +177,8 @@ class State:
 
     # scalars (moisture etc.), [C, K, nScalars]; None when dry
     scalars: Any = None
+    # accumulated grid-scale precipitation [C] (mm); None without microphysics
+    rainnc: Any = None
 
 
 def zero_state(C: int, E: int, V: int, K: int, dtype=jnp.float32,

@@ -118,15 +118,28 @@ def build_model(grid_path: str = DEFAULT_GRID,
     static = core_state.StaticState(**{k: f(v) for k, v in static_np.items()})
 
     C, E, V, K = mesh.nCells, mesh.nEdges, mesh.nVertices, vg.nVertLevels
-    n_scalars = 1 if nl.config_moisture else 0
+    use_mp = nl.config_microphysics == "kessler"
+    n_scalars = 3 if use_mp else (1 if nl.config_moisture else 0)
+    if use_mp and not nl.config_scalar_advection:
+        # microphysics requires transported moisture species
+        nl = nl.replace(config_scalar_advection=True)
+    if use_mp and nl.config_kessler_nfall == 0:
+        from ..physics.kessler import fall_substeps
+        dz_min = float(np.min(static_np["zgrid"][:, 1:]
+                              - static_np["zgrid"][:, :-1]))
+        nl = nl.replace(config_kessler_nfall=fall_substeps(nl.config_dt, dz_min))
     state = core_state.zero_state(C, E, V, K, dtype, n_scalars=n_scalars)
     state = state.replace(
         u=f(init_np["u"]), w=f(init_np["w"]), theta_m=f(init_np["theta_m"]),
         rho_zz=f(init_np["rho"]),            # physical rho; coupled below
         v=f(init_np["v"]), pressure_p=f(init_np["pressure_p"]),
         exner=f(init_np["exner"]))
-    if nl.config_moisture:
-        state = state.replace(scalars=f(init_np["qv"])[..., None])
+    if n_scalars:
+        qv = f(init_np["qv"]) if nl.config_moisture else jnp.zeros((C, K), dtype)
+        scal = jnp.zeros((C, K, n_scalars), dtype).at[..., 0].set(qv)
+        state = state.replace(scalars=scal)
+    if use_mp:
+        state = state.replace(rainnc=jnp.zeros((C,), dtype))
 
     # atm_core_init sequence (atm_core.rg:10-44): coupled diagnostics,
     # solve diagnostics, reconstruction

@@ -137,6 +137,13 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
             scal, rho_old, ruAvg, wwAvg, mesh, vert, nl, dt)
         state = state.replace(scalars=scal_new)
 
+    # microphysics: close the moisture loop (the capability the reference
+    # leaves open — SURVEY.md section 8 "scalar transport absent throughout")
+    if (nl.config_microphysics == "kessler" and state.scalars is not None
+            and state.scalars.shape[-1] >= 3):
+        from ..physics import kessler as mp
+        state = mp.apply_kessler(state, static, vert, nl, dt)
+
     # rediagnose the new density after the split bookkeeping restored the old
     state = state.replace(rho_zz=state.rho_p + static.rho_base)
     return state
