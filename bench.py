@@ -34,18 +34,29 @@ def main():
                   config_dt=720.0)
     m = build_model(namelist=nl)
 
-    state = m.state
-    for _ in range(WARMUP_STEPS):
-        state = m.step_fn(state)
-    jax.block_until_ready(state.u)
+    # differential timing with a forced device->host fetch: on remote/tunneled
+    # backends block_until_ready may not synchronize and a single fetch costs a
+    # full RTT, so time N1 and N2 steps (each ending in a scalar fetch) and use
+    # the difference — dispatch and RTT overheads cancel exactly.
+    def run(n):
+        s = m.state
+        for _ in range(n):
+            s = m.step_fn(s)
+        return float(s.u[0, 0])
 
-    t0 = time.perf_counter()
-    for _ in range(BENCH_STEPS):
-        state = m.step_fn(state)
-    jax.block_until_ready(state.u)
-    elapsed = time.perf_counter() - t0
+    run(WARMUP_STEPS)
 
-    step_ms = elapsed / BENCH_STEPS * 1000.0
+    def best_time(n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(n)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 5, 5 + BENCH_STEPS
+    elapsed = best_time(n2) - best_time(n1)
+
     cells = m.mesh.nCells * N_LEVELS
     value = cells * BENCH_STEPS / elapsed
     print(json.dumps({

@@ -169,11 +169,13 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
     g = constants.gravity
 
     if small_step != 0:
-        # horizontal momentum update with acoustic pressure gradient
-        rtpp1, rtpp2 = st.edge_pair(ac.rtheta_pp, mesh.cellsOnEdge)
+        # horizontal momentum update with acoustic pressure gradient; the two
+        # per-substep perturbation fields share one packed gather, while the
+        # stage-constant zz/exner gathers CSE across the unrolled substeps
+        (rtpp1, rtpp2), (rpp1, rpp2) = st.edge_pairs(
+            mesh.cellsOnEdge, ac.rtheta_pp, ac.rho_pp)
         zz1, zz2 = st.edge_pair(static.zz, mesh.cellsOnEdge)
         ex1, ex2 = st.edge_pair(state.exner, mesh.cellsOnEdge)
-        rpp1, rpp2 = st.edge_pair(ac.rho_pp, mesh.cellsOnEdge)
         pgrad = ((rtpp2 - rtpp1) * mesh.invDcEdge[:, None]) / (0.5 * (zz1 + zz2))
         pgrad = state.cqu * 0.5 * c2 * (ex1 + ex2) * pgrad
         pgrad = pgrad + 0.5 * static.zxu * g * (rpp1 + rpp2)
@@ -197,8 +199,10 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
     theta_e = st.avg_cell_to_edge(state.theta_m, mesh.cellsOnEdge)      # [E, K]
     sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
     wdiv = dts * mesh.invAreaCell[:, None]
-    rs0 = -wdiv * st.sum_edges_to_cell(ru_p, mesh.edgesOnCell, sign_dv)
-    ts0 = -wdiv * st.sum_edges_to_cell(ru_p * theta_e, mesh.edgesOnCell, sign_dv)
+    # the mass and theta divergences share one packed [C, M] gather
+    g_ru, g_rut = st.take_packed(mesh.edgesOnCell, ru_p, ru_p * theta_e)
+    rs0 = -wdiv * jnp.einsum("cm,cmk->ck", sign_dv, g_ru)
+    ts0 = -wdiv * jnp.einsum("cm,cmk->ck", sign_dv, g_rut)
     if "ac_rs0" in _DEBUG_DISABLE:
         rs0 = rs0 * 0.0
     if "ac_ts0" in _DEBUG_DISABLE:
@@ -285,6 +289,7 @@ def divergence_damping_3d(ac: AcousticState, state, mesh, nl, dts):
     coef = 2.0 * nl.config_smdiv * nl.config_len_disp / dts
     dpp = ac.rtheta_pp - ac.rtheta_pp_old
     div1, div2 = st.edge_pair(-dpp, mesh.cellsOnEdge)
+    # theta_m is stage-constant: this gather CSEs across the acoustic loop
     th1, th2 = st.edge_pair(state.theta_m, mesh.cellsOnEdge)
     ru_p = ac.ru_p + coef * (div2 - div1) / (th1 + th2)
     return ac.replace(ru_p=ru_p)

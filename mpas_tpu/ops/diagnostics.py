@@ -37,14 +37,13 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
     vorticity = st.sum_edges_to_vertex(u, mesh.edgesOnVertex, w_vortex)
     vorticity = vorticity * mesh.invAreaTriangle[:, None]
 
-    # divergence at cell centers
+    # divergence and cell kinetic energy share one packed [C, M] gather
     w_div = (mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
              * mesh.invAreaCell[:, None])
-    divergence = st.sum_edges_to_cell(u, mesh.edgesOnCell, w_div)
-
-    # cell kinetic energy (Ringler et al JCP 2009)
     w_ke = 0.25 * mesh.edgesOnCell_mask * mesh.invAreaCell[:, None]
-    ke = st.sum_edges_to_cell(ke_edge, mesh.edgesOnCell, w_ke)
+    g_u, g_ke = st.take_packed(mesh.edgesOnCell, u, ke_edge)
+    divergence = jnp.einsum("cm,cmk->ck", w_div, g_u)
+    ke = jnp.einsum("cm,cmk->ck", w_ke, g_ke)
 
     if hollingsworth:
         # AG's KE construction (dynamics_tasks.rg:392-418)

@@ -19,6 +19,7 @@ the *same* discrete fluxes, so scalar == 1 stays exactly 1.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import stencils as st
@@ -43,17 +44,19 @@ def advance_scalars(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
 
     flow_sign = jnp.sign(ruAvg)
     sign_only = mesh.edgesOnCellSign
-    out = []
-    for s in range(nS):
-        q = scalars[:, :, s]
+
+    # vmap over the scalar axis: the per-scalar gathers batch into single
+    # wide-row gathers (latency-bound per row on TPU — see stencils.take_packed)
+    def one(q):
         fe = st.adv_flux_on_edge(q, flow_sign, mesh.advCellsForEdge,
                                  mesh.adv_coefs, mesh.adv_coefs_3rd)
         h_tend = -st.sum_edges_to_cell(ruAvg * fe, mesh.edgesOnCell, sign_only) \
             * mesh.invAreaCell[:, None]
         wq = st.vflux_mass_to_iface(q, wwAvg, fzm, fzp, nl.config_coef_3rd_order)
         v_tend = -rdzw[None, :] * st.delta(wq)
-        out.append((q * rho_zz_old + dt * (h_tend + v_tend)) / rho_new)
-    return jnp.stack(out, axis=-1), rho_new
+        return (q * rho_zz_old + dt * (h_tend + v_tend)) / rho_new
+
+    return jax.vmap(one, in_axes=2, out_axes=2)(scalars), rho_new
 
 
 def advance_scalars_mono(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
@@ -76,9 +79,10 @@ def advance_scalars_mono(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
 
     ww_mid = 0.5 * (wwAvg[:, :-1] + wwAvg[:, 1:])  # advector sign at interfaces
 
-    out = []
-    for s in range(nS):
-        q = scalars[:, :, s]
+    # vmap over the scalar axis: all per-scalar gathers (edge pairs, the
+    # advection stencil, the neighborhood min/max, the limiter pairs) batch
+    # into single wide-row gathers (see stencils.take_packed)
+    def one(q):
         q1, q2 = st.edge_pair(q, coe)
 
         # ---- low-order (upwind) fluxes ----
@@ -154,6 +158,6 @@ def advance_scalars_mono(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
 
         h_corr = -st.sum_edges_to_cell(a_e_lim, eoc, sign_only) * inv_area
         v_corr = -rdzw[None, :] * st.delta(a_v_lim)
-        q_new = (rq_td + dt * (h_corr + v_corr)) / rho_new
-        out.append(q_new)
-    return jnp.stack(out, axis=-1), rho_new
+        return (rq_td + dt * (h_corr + v_corr)) / rho_new
+
+    return jax.vmap(one, in_axes=2, out_axes=2)(scalars), rho_new

@@ -27,6 +27,39 @@ def gather(f, idx):
     return jnp.take(f, idx, axis=0)
 
 
+def take_packed(idx, *fields):
+    """One row gather serving several fields that share the index array.
+
+    TPU row gathers are latency-bound per ROW (~5 ns/row measured on v5e,
+    flat for row widths up to 128 lanes — tools/layout_study.py), so
+    gathering N fields [C, K] with the same idx costs N gathers separately
+    but ~1 gather when concatenated along the minor axis.  The concat and
+    split are streaming-speed (>600 GB/s) and fuse under XLA.
+
+    Only pack fields that change together: packing a loop-invariant field
+    (zz, exner within the acoustic loop) with a per-iteration field defeats
+    XLA's CSE of the invariant gather across the unrolled loop.
+
+    fields: arrays [N, K_i] (K_i may differ).  Returns a list of gathered
+    arrays, each idx.shape + (K_i,).
+    """
+    if len(fields) == 1:
+        return [jnp.take(fields[0], idx, axis=0)]
+    widths = [f.shape[1] for f in fields]
+    g = jnp.take(jnp.concatenate(fields, axis=1), idx, axis=0)
+    outs, off = [], 0
+    for w in widths:
+        outs.append(g[..., off:off + w])
+        off += w
+    return outs
+
+
+def edge_pairs(cellsOnEdge, *fields):
+    """Packed edge_pair: returns [(f(cell1), f(cell2)), ...] per field."""
+    gs = take_packed(cellsOnEdge, *fields)
+    return [(g[:, 0], g[:, 1]) for g in gs]
+
+
 def edge_pair(f_c, cellsOnEdge):
     """Cell field [C, K] -> (f(cell1), f(cell2)) each [E, K]."""
     g = jnp.take(f_c, cellsOnEdge, axis=0)      # [E, 2, K]

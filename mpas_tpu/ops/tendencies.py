@@ -8,6 +8,12 @@ gradient, curvature, del2/del4 mixing, Rayleigh damping), W section
 buoyancy), THETA section (flux-form advection, perturbation flux, mixing,
 vertical advection, diabatic coupling).
 
+TPU performance structure: row gathers are latency-bound per row (~5 ns/row
+on v5e regardless of row width up to 128 lanes — tools/layout_study.py), so
+every gather here is PACKED: fields sharing an index array are concatenated
+along the minor axis and gathered once (st.take_packed).  The pack groups
+below cut the step's gather-row count roughly in half.
+
 Reference defects corrected (SURVEY.md section 8):
   - separate tend_w / per-edge flux temporaries instead of the reference's
     reuse of prognostic `w` and scalar `flux_arr` fields (:1171-1205);
@@ -57,9 +63,9 @@ class Tend:
 
 
 def _smagorinsky_kdiff(state, mesh, nl, invDt):
-    """Horizontal Smagorinsky eddy viscosity (dynamics_tasks.rg:858-916)."""
-    u_e = jnp.take(state.u, mesh.edgesOnCell, axis=0)      # [C, M, K]
-    v_e = jnp.take(state.v, mesh.edgesOnCell, axis=0)
+    """Horizontal Smagorinsky eddy viscosity (dynamics_tasks.rg:858-916);
+    one packed [C, M] gather serves u and v."""
+    u_e, v_e = st.take_packed(mesh.edgesOnCell, state.u, state.v)  # [C, M, K]
     d_diag = (jnp.einsum("cm,cmk->ck", mesh.defc_a, u_e)
               - jnp.einsum("cm,cmk->ck", mesh.defc_b, v_e))
     d_off = (jnp.einsum("cm,cmk->ck", mesh.defc_b, u_e)
@@ -88,9 +94,39 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     invDt = 1.0 / dt
 
     sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, eoc)       # [C, M]
+    sign_only = mesh.edgesOnCellSign
 
-    # ---- horizontal mass divergence (every rk step) ----
-    h_divergence = st.sum_edges_to_cell(state.ru, eoc, sign_dv) * mesh.invAreaCell[:, None]
+    # ---- advection-stencil gathers: theta (mass) + w (interface) PACKED ----
+    ru_edge_w = st.interface_interp(state.ru, fzm, fzp)                # [E, K+1]
+    qa_t, qa_w = st.take_packed(mesh.advCellsForEdge, state.theta_m, state.w)
+    flux_arr_t = (jnp.einsum("es,esk->ek", mesh.adv_coefs, qa_t)
+                  + jnp.sign(state.ru)
+                  * jnp.einsum("es,esk->ek", mesh.adv_coefs_3rd, qa_t))
+    flux_arr_w = (jnp.einsum("es,esk->ek", mesh.adv_coefs, qa_w)
+                  + jnp.sign(ru_edge_w)
+                  * jnp.einsum("es,esk->ek", mesh.adv_coefs_3rd, qa_w))
+
+    # ---- perturbation theta flux needs theta_m_save edge values first ----
+    if rk_step > 0:
+        (ts1, ts2), = st.edge_pairs(coe, save.theta_m_save)
+        pert = (save.ru_save - state.ru) * 0.5 * (ts1 + ts2)           # [E, K]
+
+    # ---- main edge->cell sums: one packed [C, M] gather ----
+    flux_w_e = ru_edge_w * flux_arr_w                                  # [E, K+1]
+    flux_t_e = state.ru * flux_arr_t                                   # [E, K]
+    if rk_step > 0 and "theta_pert_flux" not in _DEBUG_DISABLE:
+        g_ru, g_fw, g_ft, g_pert = st.take_packed(eoc, state.ru, flux_w_e,
+                                                  flux_t_e, pert)
+        pert_sum = jnp.einsum("cm,cmk->ck", sign_dv, g_pert)
+    else:
+        g_ru, g_fw, g_ft = st.take_packed(eoc, state.ru, flux_w_e, flux_t_e)
+        pert_sum = None
+    h_divergence = (jnp.einsum("cm,cmk->ck", sign_dv, g_ru)
+                    * mesh.invAreaCell[:, None])
+    tend_w = -jnp.einsum("cm,cmk->ck", sign_only, g_fw)                # [C, K+1]
+    tend_theta = -jnp.einsum("cm,cmk->ck", sign_only, g_ft)            # [C, K]
+    if pert_sum is not None:
+        tend_theta = tend_theta - pert_sum
 
     if rk_step == 0:
         tend_rho = (-h_divergence - rdzw[None, :] * st.delta(state.rw)
@@ -102,13 +138,44 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     else:
         tend_rho, dpdz = prev.tend_rho, prev.dpdz
 
-    pp1, pp2 = st.edge_pair(state.pressure_p, coe)
+    # ---- mixing coefficients (rk_step 0 only; needed before pack groups) ----
+    if rk_step == 0:
+        kdiff = (jnp.zeros_like(state.theta_m)
+                 if nl.config_horiz_mixing == "2d_fixed"
+                 else _smagorinsky_kdiff(state, mesh, nl, invDt))
+        if nl.config_horiz_mixing == "2d_smagorinsky":
+            h_mom_eddy_visc4 = nl.config_visc4_2dsmag * nl.config_len_disp ** 3
+            h_theta_eddy_visc4 = h_mom_eddy_visc4
+        else:
+            h_mom_eddy_visc4 = nl.config_h_mom_eddy_visc4
+            h_theta_eddy_visc4 = nl.config_h_theta_eddy_visc4
+    else:
+        kdiff = prev.kdiff
+
+    # ---- packed cell-field edge pairs ----
+    # static zz is gathered separately so XLA CSEs it across RK stages
     zz1, zz2 = st.edge_pair(static.zz, coe)
-    w1, w2 = st.edge_pair(state.w, coe)       # [E, K+1]
+    if rk_step == 0:
+        kdiff_i = jnp.concatenate(
+            [jnp.zeros((C, 1), kdiff.dtype),
+             0.5 * (kdiff[:, 1:] + kdiff[:, :-1]),
+             jnp.zeros((C, 1), kdiff.dtype)], axis=1)                  # [C, K+1]
+        # mass-level pack (5 x K lanes)
+        ((pp1, pp2), (dpdz1, dpdz2), (ke1, ke2), (hd1, hd2),
+         (tm1, tm2), (div1, div2), (kd1, kd2)) = st.edge_pairs(
+            coe, state.pressure_p, dpdz, state.ke, h_divergence,
+            state.theta_m, state.divergence, kdiff)
+        # interface-level pack (3 x (K+1) lanes)
+        (w1, w2), (rw1, rw2), (kdi1, kdi2) = st.edge_pairs(
+            coe, state.w, state.rw, kdiff_i)
+    else:
+        (pp1, pp2), (ke1, ke2), (hd1, hd2) = st.edge_pairs(
+            coe, state.pressure_p, state.ke, h_divergence)
+        (w1, w2), (rw1, rw2) = st.edge_pairs(coe, state.w, state.rw)
+    rw_e = 0.5 * (rw1 + rw2)                                           # [E, K+1]
 
     # =================== U section ===================
     if rk_step == 0:
-        dpdz1, dpdz2 = st.edge_pair(dpdz, coe)
         tend_u_euler = -state.cqu * (
             (pp2 - pp1) * mesh.invDcEdge[:, None] / (0.5 * (zz1 + zz2))
             - 0.5 * static.zxu * (dpdz1 + dpdz2))
@@ -116,19 +183,16 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
         tend_u_euler = prev.tend_u_euler
 
     # vertical transport of u
-    rw_e = st.avg_cell_to_edge(state.rw, coe)                          # [E, K+1]
     wduz = st.vflux_mass_to_iface(state.u, rw_e, fzm, fzp, 1.0)
     tend_u = -rdzw[None, :] * st.delta(wduz)
 
-    # nonlinear Coriolis / PV flux (Ringler et al JCP 2009)
-    u_eoe = jnp.take(state.u, mesh.edgesOnEdge, axis=0)                # [E, W2, K]
-    pv_eoe = jnp.take(state.pv_edge, mesh.edgesOnEdge, axis=0)
+    # nonlinear Coriolis / PV flux (Ringler et al JCP 2009); u and pv_edge
+    # share the edgesOnEdge index -> one packed gather
+    u_eoe, pv_eoe = st.take_packed(mesh.edgesOnEdge, state.u, state.pv_edge)
     workpv = 0.5 * (state.pv_edge[:, None, :] + pv_eoe)
     q = jnp.einsum("ew,ewk->ek",
                    mesh.weightsOnEdge * mesh.edgesOnEdge_mask, u_eoe * workpv)
 
-    ke1, ke2 = st.edge_pair(state.ke, coe)
-    hd1, hd2 = st.edge_pair(h_divergence, coe)
     if "q" in _DEBUG_DISABLE:
         q = q * 0.0
     if "ke" in _DEBUG_DISABLE:
@@ -147,41 +211,71 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
 
     # ---- horizontal/vertical mixing for u (first RK step only) ----
     if rk_step == 0:
-        kdiff = (jnp.zeros_like(state.theta_m)
-                 if nl.config_horiz_mixing == "2d_fixed"
-                 else _smagorinsky_kdiff(state, mesh, nl, invDt))
-        if nl.config_horiz_mixing == "2d_smagorinsky":
-            h_mom_eddy_visc4 = nl.config_visc4_2dsmag * nl.config_len_disp ** 3
-            h_theta_eddy_visc4 = h_mom_eddy_visc4
-        else:
-            h_mom_eddy_visc4 = nl.config_h_mom_eddy_visc4
-            h_theta_eddy_visc4 = nl.config_h_theta_eddy_visc4
-
         # del^2 u as grad(divergence) - curl(vorticity)
-        div1, div2 = st.edge_pair(state.divergence, coe)
         vort = jnp.take(state.vorticity, mesh.verticesOnEdge, axis=0)  # [E, 2, K]
         r_dc = mesh.invDcEdge[:, None]
         r_dv = jnp.minimum(mesh.invDvEdge, 4.0 * mesh.invDcEdge)[:, None]
         u_diffusion = (div2 - div1) * r_dc - (vort[:, 1] - vort[:, 0]) * r_dv
         delsq_u = u_diffusion
-        kd1, kd2 = st.edge_pair(kdiff, coe)
         tend_u_euler = tend_u_euler + (state.rho_edge * 0.5 * (kd1 + kd2)
                                        * u_diffusion * mesh.meshScalingDel2[:, None])
 
-        if h_mom_eddy_visc4 > 0.0:  # del^4 = del^2(del^2)
+        # ---- mixing edge fields: one packed [C, M] gather serves the del^2
+        # sums for u, w and theta plus their kdiff-scaled variants ----
+        # MPAS uses (rho_edge(k) + rho_edge(k-1)), i.e. a plain sum at the
+        # interface, not fzm/fzp weights:
+        rho_sum = jnp.concatenate(
+            [jnp.zeros((state.rho_edge.shape[0], 1), state.rho_edge.dtype),
+             state.rho_edge[:, 1:] + state.rho_edge[:, :-1],
+             jnp.zeros((state.rho_edge.shape[0], 1), state.rho_edge.dtype)], axis=1)
+        edge_sign_w = (0.5 * mesh.invAreaCell[:, None] * sign_dv
+                       * jnp.take(mesh.invDcEdge, eoc))                # [C, M]
+        w_turb = rho_sum * (w2 - w1)                                   # [E, K+1]
+        kd_e = 0.5 * (kdi1 + kdi2)             # 0.25*(4 cell terms) [E, K+1]
+        w_turb_k = w_turb * kd_e * mesh.meshScalingDel2[:, None]
+
+        edge_sign_t = (mesh.invAreaCell[:, None] * sign_dv
+                       * jnp.take(mesh.invDcEdge, eoc))                # [C, M]
+        theta_turb = (tm2 - tm1) * state.rho_edge                      # [E, K]
+        kd_e2 = 0.5 * (kd1 + kd2)
+        theta_turb_k = theta_turb * kd_e2 * (prandtl_inv * mesh.meshScalingDel2[:, None])
+
+        g_wt, g_wtk, g_tt, g_ttk, g_du = st.take_packed(
+            eoc, w_turb, w_turb_k, theta_turb, theta_turb_k, delsq_u)
+        delsq_w = jnp.einsum("cm,cmk->ck", edge_sign_w, g_wt)
+        tend_w_euler = jnp.einsum("cm,cmk->ck", edge_sign_w, g_wtk)
+        delsq_theta = jnp.einsum("cm,cmk->ck", edge_sign_t, g_tt)
+        tend_theta_euler = jnp.einsum("cm,cmk->ck", edge_sign_t, g_ttk)
+        delsq_divergence = (jnp.einsum("cm,cmk->ck", sign_dv, g_du)
+                            * mesh.invAreaCell[:, None])
+
+        # del^4 = del^2(del^2); the u/w parts carry the h_mom factor and the
+        # theta part the h_theta factor, so a zero coefficient contributes 0
+        if h_mom_eddy_visc4 > 0.0 or h_theta_eddy_visc4 > 0.0:
             w_vort = mesh.edgesOnVertexSign * jnp.take(mesh.dcEdge, mesh.edgesOnVertex)
             delsq_vorticity = (st.sum_edges_to_vertex(delsq_u, mesh.edgesOnVertex, w_vort)
                                * mesh.invAreaTriangle[:, None])
-            delsq_divergence = (st.sum_edges_to_cell(delsq_u, eoc, sign_dv)
-                                * mesh.invAreaCell[:, None])
-            dd1, dd2 = st.edge_pair(delsq_divergence, coe)
             dv_v = jnp.take(delsq_vorticity, mesh.verticesOnEdge, axis=0)
+            # delsq cell fields: one packed edge-pair gather
+            ((dd1, dd2), (dw1, dw2), (dt1, dt2)) = st.edge_pairs(
+                coe, delsq_divergence, delsq_w, delsq_theta)
             u_mix_scale = mesh.meshScalingDel4[:, None] * h_mom_eddy_visc4
             r_dc4 = u_mix_scale * nl.config_del4u_div_factor * mesh.invDcEdge[:, None]
             r_dv4 = u_mix_scale * jnp.minimum(mesh.invDvEdge, 4.0 * mesh.invDcEdge)[:, None]
             u_diffusion4 = state.rho_edge * ((dd2 - dd1) * r_dc4
                                              - (dv_v[:, 1] - dv_v[:, 0]) * r_dv4)
             tend_u_euler = tend_u_euler - u_diffusion4
+
+            # del^4 for w and theta: pack their difference fields
+            edge_sign_w4 = (h_mom_eddy_visc4 * mesh.invAreaCell[:, None] * sign_dv
+                            * jnp.take(mesh.invDcEdge * mesh.meshScalingDel4, eoc))
+            edge_sign_t4 = (h_theta_eddy_visc4 * prandtl_inv
+                            * mesh.invAreaCell[:, None] * sign_dv
+                            * jnp.take(mesh.invDcEdge * mesh.meshScalingDel4, eoc))
+            g_ddw, g_ddt = st.take_packed(eoc, dw2 - dw1, dt2 - dt1)
+            tend_w_euler = tend_w_euler - jnp.einsum("cm,cmk->ck", edge_sign_w4, g_ddw)
+            tend_theta_euler = tend_theta_euler - jnp.einsum("cm,cmk->ck",
+                                                             edge_sign_t4, g_ddt)
 
         # vertical 2nd-order mixing of u (perturbation form by default)
         if nl.config_v_mom_eddy_visc2 > 0.0:
@@ -201,8 +295,9 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
                       - (um[:, 1:-1] - um[:, :-2]) / dzm) / (0.5 * (dzp + dzm)))
             tend_u_euler = tend_u_euler.at[:, 1:-1].add(mix)
     else:
-        kdiff = prev.kdiff
         tend_u_euler = prev.tend_u_euler
+        tend_w_euler = prev.tend_w_euler
+        tend_theta_euler = prev.tend_theta_euler
 
     # Rayleigh damping on u (dynamics_tasks.rg:1152-1159)
     if nl.config_rayleigh_damp_u:
@@ -216,46 +311,10 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     tend_u = tend_u + tend_u_euler + state.tend_ru_physics
 
     # =================== W section ===================
-    # horizontal advection of w on interfaces 1..K-1
-    ru_edge_w = st.interface_interp(state.ru, fzm, fzp)                # [E, K+1]
-    flux_arr_w = st.adv_flux_on_edge(state.w, jnp.sign(ru_edge_w),
-                                     mesh.advCellsForEdge, mesh.adv_coefs,
-                                     mesh.adv_coefs_3rd)               # [E, K+1]
-    sign_only = mesh.edgesOnCellSign
-    tend_w = -st.sum_edges_to_cell(ru_edge_w * flux_arr_w, eoc, sign_only)
-
-    # ---- horizontal mixing for w (first RK step only) ----
-    if rk_step == 0:
-        # MPAS uses (rho_edge(k) + rho_edge(k-1)), i.e. a plain sum at the
-        # interface, not fzm/fzp weights:
-        rho_sum = jnp.concatenate(
-            [jnp.zeros((state.rho_edge.shape[0], 1), state.rho_edge.dtype),
-             state.rho_edge[:, 1:] + state.rho_edge[:, :-1],
-             jnp.zeros((state.rho_edge.shape[0], 1), state.rho_edge.dtype)], axis=1)
-        edge_sign_w = (0.5 * mesh.invAreaCell[:, None] * sign_dv
-                       * jnp.take(mesh.invDcEdge, eoc))                # [C, M]
-        dw = st.diff_cell_to_edge(state.w, coe)                        # [E, K+1]
-        w_turb = rho_sum * dw                                          # [E, K+1]
-        delsq_w = st.sum_edges_to_cell(w_turb, eoc, edge_sign_w)
-        kdiff_i = jnp.concatenate(
-            [jnp.zeros((C, 1), kdiff.dtype),
-             0.5 * (kdiff[:, 1:] + kdiff[:, :-1]),
-             jnp.zeros((C, 1), kdiff.dtype)], axis=1)                  # [C, K+1]
-        kd_e = st.avg_cell_to_edge(kdiff_i, coe)                       # 0.25*(4 terms)
-        w_turb_k = w_turb * kd_e * mesh.meshScalingDel2[:, None]
-        tend_w_euler = st.sum_edges_to_cell(w_turb_k, eoc, edge_sign_w)
-
-        if h_mom_eddy_visc4 > 0.0:  # del^4 for w
-            edge_sign_w4 = (h_mom_eddy_visc4 * mesh.invAreaCell[:, None] * sign_dv
-                            * jnp.take(mesh.invDcEdge * mesh.meshScalingDel4, eoc))
-            ddw = st.diff_cell_to_edge(delsq_w, coe)
-            tend_w_euler = tend_w_euler - st.sum_edges_to_cell(ddw, eoc, edge_sign_w4)
-    else:
-        tend_w_euler = prev.tend_w_euler
+    zero_col = jnp.zeros((C, 1), tend_w.dtype)
 
     # vertical advection of w
     wdwz = st.vflux_iface_to_mass(state.w, state.rw, 1.0)              # [C, K]
-    zero_col = jnp.zeros((C, 1), tend_w.dtype)
     d_wdwz = jnp.concatenate([zero_col, st.delta(wdwz), zero_col], axis=1)  # [C, K+1]
     tend_w = tend_w * mesh.invAreaCell[:, None] - rdzu[None, :] * d_wdwz
 
@@ -290,35 +349,7 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     tend_w = tend_w.at[:, 0].set(0.0).at[:, K].set(0.0)
 
     # =================== THETA section ===================
-    flux_arr_t = st.adv_flux_on_edge(state.theta_m, jnp.sign(state.ru),
-                                     mesh.advCellsForEdge, mesh.adv_coefs,
-                                     mesh.adv_coefs_3rd)               # [E, K]
-    tend_theta = -st.sum_edges_to_cell(state.ru * flux_arr_t, eoc, sign_only)
-
-    if rk_step > 0:
-        # perturbation flux for the rtheta_pp equation (dynamics_tasks.rg:1347-1360)
-        ts1, ts2 = st.edge_pair(save.theta_m_save, coe)
-        pert = (save.ru_save - state.ru) * 0.5 * (ts1 + ts2)           # [E, K]
-        if "theta_pert_flux" not in _DEBUG_DISABLE:
-            tend_theta = tend_theta - st.sum_edges_to_cell(pert, eoc, sign_dv)
-
     if rk_step == 0:
-        edge_sign_t = (mesh.invAreaCell[:, None] * sign_dv
-                       * jnp.take(mesh.invDcEdge, eoc))                # [C, M]
-        dtheta = st.diff_cell_to_edge(state.theta_m, coe)
-        theta_turb = dtheta * state.rho_edge
-        delsq_theta = st.sum_edges_to_cell(theta_turb, eoc, edge_sign_t)
-        kd_e2 = st.avg_cell_to_edge(kdiff, coe)
-        theta_turb_k = theta_turb * kd_e2 * (prandtl_inv * mesh.meshScalingDel2[:, None])
-        tend_theta_euler = st.sum_edges_to_cell(theta_turb_k, eoc, edge_sign_t)
-
-        if h_theta_eddy_visc4 > 0.0:  # del^4 for theta
-            edge_sign_t4 = (h_theta_eddy_visc4 * prandtl_inv
-                            * mesh.invAreaCell[:, None] * sign_dv
-                            * jnp.take(mesh.invDcEdge * mesh.meshScalingDel4, eoc))
-            ddt = st.diff_cell_to_edge(delsq_theta, coe)
-            tend_theta_euler = tend_theta_euler - st.sum_edges_to_cell(ddt, eoc, edge_sign_t4)
-
         if nl.config_v_theta_eddy_visc2 > 0.0:
             tm = state.theta_m if nl.config_mix_full else state.theta_m - static.t_init
             zmid_c = 0.5 * (static.zgrid[:, :-1] + static.zgrid[:, 1:])
@@ -328,8 +359,6 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
                     * ((tm[:, 2:] - tm[:, 1:-1]) / dzp
                        - (tm[:, 1:-1] - tm[:, :-2]) / dzm) / (0.5 * (dzp + dzm)))
             tend_theta_euler = tend_theta_euler.at[:, 1:-1].add(mixt)
-    else:
-        tend_theta_euler = prev.tend_theta_euler
 
     # vertical advection + acoustic-consistency correction (wdtz)
     wdtz = st.vflux_mass_to_iface(state.theta_m, state.rw, fzm, fzp,
