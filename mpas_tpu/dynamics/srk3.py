@@ -102,15 +102,20 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
                 rw_p=jnp.zeros_like(state.rw))
             ruAvg = jnp.zeros_like(state.ruAvg)
             wwAvg = jnp.zeros_like(state.wwAvg)
+            # the divergence damping of each substep's ru_p is folded into the
+            # NEXT substep's packed pressure-gradient gather (one row gather
+            # instead of two); the final substep is damped standalone below
             for small_step in range(ns):
                 ac, ruAvg, wwAvg = ac_ops.advance_acoustic_step(
                     ac, ruAvg, wwAvg, tend, coefs, state, save, static, mesh,
-                    vert, nl, rk_sub_timestep[rk_step], small_step)
+                    vert, nl, rk_sub_timestep[rk_step], small_step,
+                    damp_previous=nl.config_divergence_damping)
                 if halo is not None:
                     ac = halo.refresh_acoustic(ac)
-                if nl.config_divergence_damping:
-                    ac = ac_ops.divergence_damping_3d(ac, state, mesh, nl,
-                                                      rk_sub_timestep[rk_step])
+            if nl.config_divergence_damping:
+                ac = ac_ops.divergence_damping_3d(ac, state, mesh, nl,
+                                                  rk_sub_timestep[rk_step],
+                                                  static=static)
 
             state = rk_ops.recover_large_step_variables(
                 state, ac, ruAvg, wwAvg, save, static, mesh, vert, nl,

@@ -153,13 +153,26 @@ def _tridiag_solve(rhs, coefs: ImplicitCoefs):
     return w
 
 
+def _stage_constant_edge_pairs(state, static, mesh):
+    """Packed edge pairs of the fields constant within one RK stage (zz,
+    exner, theta_m): one gather per stage, CSE'd across the unrolled
+    acoustic substeps."""
+    return st.edge_pairs(mesh.cellsOnEdge, static.zz, state.exner,
+                         state.theta_m)
+
+
 def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
                           state, save, static, mesh, vert, nl, dts,
-                          small_step: int):
+                          small_step: int, damp_previous: bool = False):
     """One forward-backward acoustic substep (dynamics_tasks.rg:1546-1719).
 
     Returns (ac', ruAvg', wwAvg').  `small_step` is a static python int;
     step 0 initializes the perturbation state from the large-step tendencies.
+
+    `damp_previous`: apply the 3-D divergence damping of the PREVIOUS
+    substep's ru_p here, folding its rtheta_pp difference into this
+    substep's packed pressure-gradient gather (one row-gather instead of
+    two).  The caller applies a standalone damping after the final substep.
     """
     C, K = ac.rho_pp.shape
     fzm, fzp, rdzw = vert.fzm, vert.fzp, vert.rdzw
@@ -168,20 +181,31 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
     c2 = constants.cp * constants.rcv
     g = constants.gravity
 
+    (zz1, zz2), (ex1, ex2), (th1, th2) = _stage_constant_edge_pairs(
+        state, static, mesh)
+
     if small_step != 0:
-        # horizontal momentum update with acoustic pressure gradient; the two
+        # horizontal momentum update with acoustic pressure gradient; the
         # per-substep perturbation fields share one packed gather, while the
-        # stage-constant zz/exner gathers CSE across the unrolled substeps
-        (rtpp1, rtpp2), (rpp1, rpp2) = st.edge_pairs(
-            mesh.cellsOnEdge, ac.rtheta_pp, ac.rho_pp)
-        zz1, zz2 = st.edge_pair(static.zz, mesh.cellsOnEdge)
-        ex1, ex2 = st.edge_pair(state.exner, mesh.cellsOnEdge)
+        # stage-constant zz/exner/theta gathers CSE across the substeps
+        if damp_previous:
+            (rtpp1, rtpp2), (rpp1, rpp2), (dpp1, dpp2) = st.edge_pairs(
+                mesh.cellsOnEdge, ac.rtheta_pp, ac.rho_pp,
+                ac.rtheta_pp - ac.rtheta_pp_old)
+        else:
+            (rtpp1, rtpp2), (rpp1, rpp2) = st.edge_pairs(
+                mesh.cellsOnEdge, ac.rtheta_pp, ac.rho_pp)
+        if damp_previous:
+            coef_d = 2.0 * nl.config_smdiv * nl.config_len_disp / dts
+            ru_p_in = ac.ru_p + coef_d * (dpp1 - dpp2) / (th1 + th2)
+        else:
+            ru_p_in = ac.ru_p
         pgrad = ((rtpp2 - rtpp1) * mesh.invDcEdge[:, None]) / (0.5 * (zz1 + zz2))
         pgrad = state.cqu * 0.5 * c2 * (ex1 + ex2) * pgrad
         pgrad = pgrad + 0.5 * static.zxu * g * (rpp1 + rpp2)
         if "ac_pgrad" in _DEBUG_DISABLE:
             pgrad = pgrad * 0.0
-        ru_p = ac.ru_p + dts * (tend.tend_u - pgrad)
+        ru_p = ru_p_in + dts * (tend.tend_u - pgrad)
         ruAvg = ruAvg + ru_p
         rtheta_pp_old = ac.rtheta_pp
         rho_pp, rtheta_pp, rw_p = ac.rho_pp, ac.rtheta_pp, ac.rw_p
@@ -196,7 +220,7 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
 
     # --- cell column update ---
     # horizontal divergence of ru_p into mass & theta right-hand sides
-    theta_e = st.avg_cell_to_edge(state.theta_m, mesh.cellsOnEdge)      # [E, K]
+    theta_e = 0.5 * (th1 + th2)                                         # [E, K]
     sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
     wdiv = dts * mesh.invAreaCell[:, None]
     # the mass and theta divergences share one packed [C, M] gather
@@ -283,13 +307,19 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
     return ac_new, ruAvg, wwAvg
 
 
-def divergence_damping_3d(ac: AcousticState, state, mesh, nl, dts):
+def divergence_damping_3d(ac: AcousticState, state, mesh, nl, dts,
+                          static=None):
     """Scaled 3-D divergence damping of ru_p (dynamics_tasks.rg:1726-1763):
-    ru_p += coef * d(rtheta_pp - rtheta_pp_old)/dx / theta_edge."""
+    ru_p += coef * d(rtheta_pp - rtheta_pp_old)/dx / theta_edge.
+
+    Pass `static` so the theta_m edge pair comes from the stage-constant
+    pack and CSEs with the gathers inside advance_acoustic_step."""
     coef = 2.0 * nl.config_smdiv * nl.config_len_disp / dts
     dpp = ac.rtheta_pp - ac.rtheta_pp_old
-    div1, div2 = st.edge_pair(-dpp, mesh.cellsOnEdge)
-    # theta_m is stage-constant: this gather CSEs across the acoustic loop
-    th1, th2 = st.edge_pair(state.theta_m, mesh.cellsOnEdge)
-    ru_p = ac.ru_p + coef * (div2 - div1) / (th1 + th2)
+    dpp1, dpp2 = st.edge_pair(dpp, mesh.cellsOnEdge)
+    if static is not None:
+        _, _, (th1, th2) = _stage_constant_edge_pairs(state, static, mesh)
+    else:
+        th1, th2 = st.edge_pair(state.theta_m, mesh.cellsOnEdge)
+    ru_p = ac.ru_p + coef * (dpp1 - dpp2) / (th1 + th2)
     return ac.replace(ru_p=ru_p)
