@@ -68,6 +68,9 @@ class Namelist:
     config_apply_lbcs: bool = False
     nRelaxZone: int = 5
 
+    # --- distributed halo exchange ---
+    config_halo_exchange: str = "ppermute"    # "ppermute" | "all_to_all"
+
     # --- vertical grid (init_atm_cases.rg:165-167) ---
     config_nvertlevels: int = 26
     config_ztop: float = 30000.0

@@ -19,12 +19,24 @@ from flax import struct
 
 
 @struct.dataclass
+class ExchangeRound:
+    """One neighbor-only ppermute round (see partition._build_exchange):
+    every shard sends to <=1 peer and receives from <=1 peer."""
+    perm: Any = struct.field(pytree_node=False)  # tuple[(src, dst), ...]
+    send_idx: Any = None    # [m] this shard's send rows (0-padded)
+    send_mask: Any = None   # [m]
+    recv_slot: Any = None   # [m] local slot to write; >=L rows are dropped
+
+
+@struct.dataclass
 class ExchangeArrays:
     """Device-side exchange plan for one entity type (per-shard block)."""
     send_idx: Any     # [S, max_send] int32 (this shard's sends to each peer)
     send_mask: Any    # [S, max_send]
     recv_pos: Any     # [L] int32
     recv_is_halo: Any  # [L]
+    # neighbor-only schedule; when non-empty the ppermute path is used
+    rounds: Any = struct.field(pytree_node=True, default=())
 
 
 @struct.dataclass
@@ -44,6 +56,13 @@ class HaloExchange:
     def _exchange(self, x, tbl: ExchangeArrays):
         vec = x.ndim > 1
         xb = x if vec else x[:, None]
+        if len(tbl.rounds):
+            out = self._exchange_ppermute(xb, tbl)
+        else:
+            out = self._exchange_all_to_all(xb, tbl)
+        return out if vec else out[:, 0]
+
+    def _exchange_all_to_all(self, xb, tbl: ExchangeArrays):
         send = jnp.take(xb, tbl.send_idx.reshape(-1), axis=0)
         send = send.reshape(tbl.send_idx.shape + xb.shape[1:])        # [S, m, K]
         send = send * tbl.send_mask[..., None]
@@ -52,8 +71,18 @@ class HaloExchange:
         # all_to_all with split/concat on axis 0: recv[d] = what shard d sent us
         recv_flat = recv.reshape((-1,) + xb.shape[1:])                # [S*m, K]
         new_vals = jnp.take(recv_flat, tbl.recv_pos, axis=0)          # [L, K]
-        out = jnp.where(tbl.recv_is_halo[:, None] > 0, new_vals, xb)
-        return out if vec else out[:, 0]
+        return jnp.where(tbl.recv_is_halo[:, None] > 0, new_vals, xb)
+
+    def _exchange_ppermute(self, xb, tbl: ExchangeArrays):
+        """Neighbor-only exchange: one lax.ppermute per schedule round, each
+        sized to that round's largest pair (no all-pairs padding).  Padding
+        rows carry recv_slot >= L and are dropped by the scatter."""
+        out = xb
+        for rnd in tbl.rounds:
+            send = jnp.take(xb, rnd.send_idx, axis=0) * rnd.send_mask[:, None]
+            recv = jax.lax.ppermute(send, self.axis, perm=rnd.perm)
+            out = out.at[rnd.recv_slot].set(recv, mode="drop")
+        return out
 
     def cell(self, *fields):
         out = tuple(self._exchange(f, self.t.cell) for f in fields)

@@ -86,6 +86,12 @@ class ExchangeTable:
     recv_pos: np.ndarray    # [S, L] position in flattened recv buffer (0 if none)
     recv_is_halo: np.ndarray  # [S, L] {0,1}
     max_send: int
+    # neighbor-only ppermute schedule: list of rounds, each a dict with
+    #   perm      tuple[(src, dst), ...]  (static)
+    #   send_idx  [S, m_r] local indices to send this round (0-padded)
+    #   send_mask [S, m_r]
+    #   recv_slot [S, m_r] local slot to write (= L for padding -> dropped)
+    rounds: list = None
 
 
 @dataclass
@@ -160,9 +166,44 @@ def _build_exchange(l2g_list, owned_counts, owner_of, g2l, n_shards):
     for (s, slot, d, pos) in recv_entries:
         recv_pos[s, slot] = d * max_send + pos
         recv_is_halo[s, slot] = 1.0
+
+    # ---- neighbor-only ppermute schedule ----
+    # Greedy edge-coloring of the communication digraph: within a round every
+    # shard sends to <=1 peer and receives from <=1 peer, so each round is one
+    # lax.ppermute whose message is sized to that round's largest pair — no
+    # all-pairs padding.  Receiver slot lists are aligned with the sender's
+    # `sends[(d, s)]` ordering (position `pos` above).
+    recv_slots = {}  # (d, s) -> [receiver local slots], aligned with sends
+    for (s, slot, d, pos) in recv_entries:
+        recv_slots.setdefault((d, s), []).append((pos, slot))
+    rounds_pairs: list[list] = []
+    for (d, s), lst in sorted(sends.items(), key=lambda kv: -len(kv[1])):
+        placed = False
+        for rp in rounds_pairs:
+            if all(d != d2 and s != s2 for (d2, s2) in rp):
+                rp.append((d, s))
+                placed = True
+                break
+        if not placed:
+            rounds_pairs.append([(d, s)])
+    rounds = []
+    for rp in rounds_pairs:
+        m = max(len(sends[pair]) for pair in rp)
+        r_send_idx = np.zeros((n_shards, m), dtype=np.int32)
+        r_send_mask = np.zeros((n_shards, m))
+        r_recv_slot = np.full((n_shards, m), L, dtype=np.int32)  # L = dropped
+        for (d, s) in rp:
+            lst = sends[(d, s)]
+            r_send_idx[d, :len(lst)] = lst
+            r_send_mask[d, :len(lst)] = 1.0
+            for pos, slot in recv_slots[(d, s)]:
+                r_recv_slot[s, pos] = slot
+        rounds.append(dict(perm=tuple(rp), send_idx=r_send_idx,
+                           send_mask=r_send_mask, recv_slot=r_recv_slot))
+
     return ExchangeTable(send_idx=send_idx, send_mask=send_mask,
                          recv_pos=recv_pos, recv_is_halo=recv_is_halo,
-                         max_send=max_send)
+                         max_send=max_send, rounds=rounds)
 
 
 def build_partition(mesh: Mesh, n_shards: int,

@@ -184,10 +184,24 @@ def shard_model(model, n_shards: int, metis_path: str | None = None,
                                 for k, v in state_np.items()})
     vert = jax.tree.map(lambda x: jax.device_put(x, rep), model.vert)
 
+    def make_rounds(xt):
+        """Device-side neighbor-only ppermute schedule (halo.ExchangeRound)."""
+        if getattr(nl, "config_halo_exchange", "ppermute") != "ppermute":
+            return ()
+        from .halo import ExchangeRound
+        return tuple(
+            ExchangeRound(perm=r["perm"], send_idx=put(r["send_idx"]),
+                          send_mask=put(r["send_mask"]),
+                          recv_slot=put(r["recv_slot"]))
+            for r in (xt.rounds or []))
+
     tables = HaloTables(
-        cell=ExchangeArrays(**{k: put(v) for k, v in table_np(p.cell_x).items()}),
-        edge=ExchangeArrays(**{k: put(v) for k, v in table_np(p.edge_x).items()}),
-        vertex=ExchangeArrays(**{k: put(v) for k, v in table_np(p.vertex_x).items()}),
+        cell=ExchangeArrays(**{k: put(v) for k, v in table_np(p.cell_x).items()},
+                            rounds=make_rounds(p.cell_x)),
+        edge=ExchangeArrays(**{k: put(v) for k, v in table_np(p.edge_x).items()},
+                            rounds=make_rounds(p.edge_x)),
+        vertex=ExchangeArrays(**{k: put(v) for k, v in table_np(p.vertex_x).items()},
+                              rounds=make_rounds(p.vertex_x)),
     )
 
     sm = ShardedModel(n_shards=S, partition=p, jax_mesh=jmesh,

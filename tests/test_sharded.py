@@ -75,3 +75,44 @@ def test_sharded_matches_unsharded(model):
         b = g[name]
         scale = np.abs(a).max() + 1e-30
         assert np.abs(a - b).max() / scale < 1e-11, name
+
+
+def test_ppermute_schedule_covers_all_sends(part):
+    """Every (owner, receiver) message appears in exactly one ppermute round,
+    and within a round each shard sends/receives at most once."""
+    x = part.cell_x
+    assert x.rounds
+    covered = {}
+    for r, rnd in enumerate(x.rounds):
+        srcs = [p[0] for p in rnd["perm"]]
+        dsts = [p[1] for p in rnd["perm"]]
+        assert len(set(srcs)) == len(srcs)
+        assert len(set(dsts)) == len(dsts)
+        for d, s in rnd["perm"]:
+            assert (d, s) not in covered
+            covered[(d, s)] = r
+    # the all-pairs table's nonzero messages == the scheduled pairs
+    S = part.n_shards
+    for d in range(S):
+        for s in range(S):
+            has_msg = x.send_mask[d, s].sum() > 0
+            assert has_msg == ((d, s) in covered)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ppermute_matches_all_to_all(model):
+    """The neighbor-only ppermute exchange matches the all-pairs all_to_all
+    exchange (the refreshed halos are bitwise identical; the full step is
+    allclose because the two programs compile with different fusion orders)."""
+    from mpas_tpu.parallel.sharded import shard_model
+    sm_pp = shard_model(model, 8)
+    nl_a2a = model.namelist.replace(config_halo_exchange="all_to_all")
+    m2 = dataclasses.replace(model, namelist=nl_a2a)
+    sm_a2a = shard_model(m2, 8)
+    sm_pp.step(2)
+    sm_a2a.step(2)
+    g1 = sm_pp.gather_state(model.mesh)
+    g2 = sm_a2a.gather_state(model.mesh)
+    for name in ["u", "w", "theta_m", "rho_zz"]:
+        scale = np.abs(g1[name]).max() + 1e-30
+        assert np.abs(g1[name] - g2[name]).max() / scale < 1e-12, name
