@@ -90,6 +90,10 @@ class Namelist:
 
     # --- optional physics/numerics toggles (MPAS #ifdef CURVATURE etc.) ---
     config_curvature: bool = True             # spherical curvature terms
+    # cell-form advection/Thuburn operators (per-cell directional Hessians +
+    # tangential matrices with flat slot gathers) instead of per-edge stencil
+    # gathers — identical arithmetic, ~5x fewer gather rows (NEXT.md study)
+    config_cell_form_ops: bool = True
     config_use_pallas_acoustic: bool = False  # fused Pallas acoustic column kernel
     config_divergence_damping: bool = True    # 3-D divergence damping
     config_smagorinsky: bool = True           # horizontal Smagorinsky/del4 mixing

@@ -144,8 +144,9 @@ def build_model(grid_path: str = DEFAULT_GRID,
     # atm_core_init sequence (atm_core.rg:10-44): coupled diagnostics,
     # solve diagnostics, reconstruction
     state = diag_ops.init_coupled_diagnostics(state, static, marr, vert)
-    diags = diag_ops.compute_solve_diagnostics(state, marr, hollingsworth=False,
-                                               reconstruct_v=True)
+    diags = diag_ops.compute_solve_diagnostics(
+        state, marr, hollingsworth=False, reconstruct_v=True,
+        cell_form=getattr(nl, "config_cell_form_ops", True))
     state = state.replace(**diags)
     zonal, meridional = diag_ops.reconstruct_velocity(state.u, marr)
     state = state.replace(uReconstructZonal=zonal, uReconstructMeridional=meridional)

@@ -232,6 +232,92 @@ def compute_advection_coefficients(mesh: Mesh, deriv_two: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# cell-form operators: the per-edge stencil sums above, refactored so the
+# expensive per-(edge,stencil-cell) row gathers become per-cell operator
+# applications + tiny per-edge slot gathers (a TPU-specific optimization:
+# row gathers are latency-bound per row, so the [E, 10]-row advection and
+# [E, 10]-row Thuburn gathers dominate the step; see NEXT.md gather study)
+# ---------------------------------------------------------------------------
+
+def compute_edge_slots(mesh: Mesh) -> np.ndarray:
+    """slotOnCell[E, 2] int32: position of edge e within edgesOnCell[c, :]
+    for c = cellsOnEdge[e, 0] (col 0) and cellsOnEdge[e, 1] (col 1).
+
+    Lets edge kernels read per-(cell, edge-slot) tables [C, M, X] with a
+    single flat row gather at index c * M + slot."""
+    E, M = mesh.nEdges, mesh.maxEdges
+    slots = np.zeros((E, 2), np.int32)
+    eids = np.arange(E)
+    for ind in range(2):
+        c = mesh.cellsOnEdge[:, ind]                          # [E]
+        hit = mesh.edgesOnCell[c] == eids[:, None]            # [E, M]
+        assert hit.any(axis=1).all(), "edge missing from its cell's edge list"
+        slots[:, ind] = hit.argmax(axis=1)
+    return slots
+
+
+def compute_dir_hessian(mesh: Mesh, deriv_two: np.ndarray) -> np.ndarray:
+    """dirHess[C, M, 1 + maxEdges]: the directional-second-derivative weights
+    of deriv_two reindexed per (cell, edge-slot):
+
+        dirHess[c, m, :] == deriv_two[edgesOnCell[c, m], side(c), :]
+
+    so that D[c, m, k] = dirHess[c, m, 0] * q[c, k]
+                       + sum_i dirHess[c, m, 1+i] * q[cellsOnCell[c, i], k]
+    equals the deriv_two evaluation at cell c along edge m's direction.  The
+    per-edge advection stencil sum then becomes
+        adv_coefs . q  == dv * (0.5*(q1 + q2) - dc^2/12 * (D1 + D2))
+        adv_coefs_3rd . q == -coef3 * dv * dc^2/12 * (D1 - D2)
+    with D_i read by a flat slot gather — C*M + 2E gather rows instead of
+    the E*10 rows of the advCellsForEdge form, for identical arithmetic."""
+    C, M = mesh.nCells, mesh.maxEdges
+    side = (mesh.cellsOnEdge[mesh.edgesOnCell, 0]
+            != np.arange(C, dtype=np.int64)[:, None]).astype(np.int64)  # [C, M]
+    dh = deriv_two[mesh.edgesOnCell, side, :]                 # [C, M, 1+M]
+    dh = dh * mesh.edgesOnCell_mask[:, :, None]
+    dh[:, :, 1:] *= mesh.edgesOnCell_mask[:, None, :]
+    return dh
+
+
+def compute_tangential_matrix(mesh: Mesh) -> np.ndarray:
+    """tanWeights[C, M, M]: per-cell split of the Thuburn weightsOnEdge such
+    that with t[c, i] = sum_j tanWeights[c, i, j] * u[edgesOnCell[c, j]],
+
+        v[e] = t[c1, slot1(e)] + t[c2, slot2(e)]
+             == sum_w weightsOnEdge[e, w] * u[edgesOnEdge[e, w]]
+
+    exactly: every edge in edgesOnEdge[e] borders exactly one of e's two
+    cells (the only edge shared by both is e itself, which carries no
+    weight), so each (e, w) weight maps to a unique (cell, i, j) slot."""
+    C, M = mesh.nCells, mesh.maxEdges
+    E = mesh.nEdges
+    W2 = mesh.edgesOnEdge.shape[1]
+    # edge -> (which of its two cells, slot) lookup per eoe entry
+    slot_of = np.full((E, 2), -1, np.int64)
+    owner = mesh.cellsOnEdge                                   # [E, 2]
+    slots = compute_edge_slots(mesh)                           # [E, 2]
+    slot_of = slots
+
+    T = np.zeros((C, M, M))
+    for i in range(M):
+        e = mesh.edgesOnCell[:, i]                             # [C] edge ids
+        e_valid = mesh.edgesOnCell_mask[:, i] > 0
+        cid = np.arange(C)
+        for w in range(W2):
+            ep = mesh.edgesOnEdge[e, w]                        # [C]
+            wgt = (mesh.weightsOnEdge[e, w] * mesh.edgesOnEdge_mask[e, w]
+                   * e_valid)
+            # does ep border this cell, and at which slot?
+            side0 = owner[ep, 0] == cid
+            side1 = owner[ep, 1] == cid
+            j = np.where(side0, slot_of[ep, 0],
+                         np.where(side1, slot_of[ep, 1], 0))
+            ok = (side0 | side1) & (wgt != 0.0)
+            np.add.at(T, (cid[ok], np.full(ok.sum(), i), j[ok]), wgt[ok])
+    return T
+
+
+# ---------------------------------------------------------------------------
 # cell-center vector reconstruction coefficients
 # ---------------------------------------------------------------------------
 

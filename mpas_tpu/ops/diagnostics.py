@@ -21,9 +21,14 @@ from . import stencils as st
 
 
 def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
-                              reconstruct_v: bool = True):
+                              reconstruct_v: bool = True,
+                              cell_form: bool = True):
     """Returns dict of updated diagnostic fields:
-    ke, divergence, vorticity, pv_edge, rho_edge, v (if reconstruct_v)."""
+    ke, divergence, vorticity, pv_edge, rho_edge, v (if reconstruct_v).
+
+    `cell_form`: compute the tangential velocity via the per-cell Thuburn
+    matrices (mesh.tanWeights + slot gathers) instead of the [E, W2]-row
+    edgesOnEdge gather — identical arithmetic, far fewer gather rows."""
     u = state.u
     h = state.rho_zz
 
@@ -63,8 +68,14 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
 
     # tangential velocities (Thuburn et al JCP 2009)
     if reconstruct_v:
-        out["v"] = st.edges_on_edge_sum(u, mesh.edgesOnEdge, mesh.weightsOnEdge,
-                                        mesh.edgesOnEdge_mask)
+        if cell_form:
+            t_u = st.cell_tangential(mesh.tanWeights, g_u)
+            tu1, tu2 = st.edge_slot_pair(t_u, mesh.cellsOnEdge, mesh.slotOnCell)
+            out["v"] = tu1 + tu2
+        else:
+            out["v"] = st.edges_on_edge_sum(u, mesh.edgesOnEdge,
+                                            mesh.weightsOnEdge,
+                                            mesh.edgesOnEdge_mask)
 
     # potential vorticity at vertices and edges (dry: no 1/h factor)
     pv_vertex = mesh.fVertex[:, None] + vorticity

@@ -47,9 +47,15 @@ def advance_scalars(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
 
     # vmap over the scalar axis: the per-scalar gathers batch into single
     # wide-row gathers (latency-bound per row on TPU — see stencils.take_packed)
+    cell_form = getattr(nl, "config_cell_form_ops", True)
+
     def one(q):
-        fe = st.adv_flux_on_edge(q, flow_sign, mesh.advCellsForEdge,
-                                 mesh.adv_coefs, mesh.adv_coefs_3rd)
+        if cell_form:
+            fe = st.adv_flux_on_edge_cellform(q, flow_sign, mesh,
+                                              nl.config_coef_3rd_order)
+        else:
+            fe = st.adv_flux_on_edge(q, flow_sign, mesh.advCellsForEdge,
+                                     mesh.adv_coefs, mesh.adv_coefs_3rd)
         h_tend = -st.sum_edges_to_cell(ruAvg * fe, mesh.edgesOnCell, sign_only) \
             * mesh.invAreaCell[:, None]
         wq = st.vflux_mass_to_iface(q, wwAvg, fzm, fzp, nl.config_coef_3rd_order)
@@ -100,8 +106,12 @@ def advance_scalars_mono(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
         q_td = rq_td / rho_new
 
         # ---- high-order fluxes and anti-diffusive corrections ----
-        fe_high = st.adv_flux_on_edge(q, flow_sign, mesh.advCellsForEdge,
-                                      mesh.adv_coefs, mesh.adv_coefs_3rd)
+        if getattr(nl, "config_cell_form_ops", True):
+            fe_high = st.adv_flux_on_edge_cellform(q, flow_sign, mesh,
+                                                   nl.config_coef_3rd_order)
+        else:
+            fe_high = st.adv_flux_on_edge(q, flow_sign, mesh.advCellsForEdge,
+                                          mesh.adv_coefs, mesh.adv_coefs_3rd)
         f_high_e = ruAvg * fe_high
         a_e = f_high_e - f_low_e                        # [E, K]
         f_high_v = st.vflux_mass_to_iface(q, wwAvg, fzm, fzp,

@@ -114,6 +114,70 @@ def adv_flux_on_edge(q_c, flow_sign, adv_cells, adv_coefs, adv_coefs_3rd):
 
 
 # ---------------------------------------------------------------------------
+# cell-form operators (see mesh/coefficients.py compute_dir_hessian /
+# compute_tangential_matrix): per-cell einsums + flat slot gathers replacing
+# the [E, 10]-row advection and Thuburn gathers
+# ---------------------------------------------------------------------------
+
+def dir_second_deriv(dirHess, cellsOnCell, *fields):
+    """Directional second derivatives D_f [C, M, K_f] per field: one packed
+    [C, M]-row neighborhood gather + a per-cell batched matmul.
+
+    D[c, m] = dirHess[c, m, 0] * q[c] + sum_i dirHess[c, m, 1+i] * q[nbr_i]."""
+    gs = take_packed(cellsOnCell, *fields)        # list of [C, M, K_f]
+    outs = []
+    for f, g in zip(fields, gs):
+        nbh = jnp.concatenate([f[:, None, :], g], axis=1)     # [C, 1+M, K]
+        outs.append(jnp.einsum("cmp,cpk->cmk", dirHess, nbh))
+    return outs
+
+
+def edge_slot_pair(tbl, cellsOnEdge, slotOnCell):
+    """Read a per-(cell, edge-slot) table [C, M, X] at both sides of every
+    edge: returns (tbl[c1, slot1], tbl[c2, slot2]), each [E, X].  Two
+    single-row flat gathers (2E rows) regardless of the stencil width."""
+    C, M = tbl.shape[0], tbl.shape[1]
+    flat = tbl.reshape(C * M, *tbl.shape[2:])
+    s1 = jnp.take(flat, cellsOnEdge[:, 0] * M + slotOnCell[:, 0], axis=0)
+    s2 = jnp.take(flat, cellsOnEdge[:, 1] * M + slotOnCell[:, 1], axis=0)
+    return s1, s2
+
+
+def edge_slot_pairs(cellsOnEdge, slotOnCell, *tables):
+    """Packed edge_slot_pair over several [C, M, K_i] tables sharing the
+    slot index: concatenates along the minor axis so both sides cost one
+    row gather each."""
+    if len(tables) == 1:
+        return [edge_slot_pair(tables[0], cellsOnEdge, slotOnCell)]
+    widths = [t.shape[2] for t in tables]
+    s1, s2 = edge_slot_pair(jnp.concatenate(tables, axis=2),
+                            cellsOnEdge, slotOnCell)
+    outs, off = [], 0
+    for w in widths:
+        outs.append((s1[..., off:off + w], s2[..., off:off + w]))
+        off += w
+    return outs
+
+
+def cell_tangential(tanWeights, u_on_cell_edges):
+    """t[c, i] = sum_j tanWeights[c, i, j] * u_e[edgesOnCell[c, j]] given the
+    already-gathered per-cell edge values [C, M, K] -> [C, M, K]."""
+    return jnp.einsum("cij,cjk->cik", tanWeights, u_on_cell_edges)
+
+
+def adv_flux_on_edge_cellform(q, flow_sign, mesh, coef3):
+    """Cell-form equivalent of adv_flux_on_edge: same 3rd/4th-order edge
+    value via per-cell directional Hessians + slot gathers (exact algebraic
+    identity; see mesh/coefficients.compute_dir_hessian)."""
+    (D,) = dir_second_deriv(mesh.dirHess, mesh.cellsOnCell, q)
+    (D1, D2), = edge_slot_pairs(mesh.cellsOnEdge, mesh.slotOnCell, D)
+    q1, q2 = edge_pair(q, mesh.cellsOnEdge)
+    scale = (mesh.dvEdge * mesh.dcEdge ** 2 / 12.0)[:, None]
+    return (0.5 * mesh.dvEdge[:, None] * (q1 + q2)
+            - scale * ((D1 + D2) + flow_sign * coef3 * (D1 - D2)))
+
+
+# ---------------------------------------------------------------------------
 # vertical operators (K minor axis)
 # ---------------------------------------------------------------------------
 

@@ -95,32 +95,88 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
 
     sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, eoc)       # [C, M]
     sign_only = mesh.edgesOnCellSign
+    cell_form = getattr(nl, "config_cell_form_ops", True)
 
-    # ---- advection-stencil gathers: theta (mass) + w (interface) PACKED ----
+    # ---- packed cell-field edge pairs (moved ahead of the flux section so
+    # the cell-form advection can use the theta/w pairs for its 2nd-order
+    # part) ----
+    # static zz is gathered separately so XLA CSEs it across RK stages
+    zz1, zz2 = st.edge_pair(static.zz, coe)
+    if rk_step == 0:
+        kdiff0 = (jnp.zeros_like(state.theta_m)
+                  if nl.config_horiz_mixing == "2d_fixed"
+                  else _smagorinsky_kdiff(state, mesh, nl, invDt))
+        kdiff_i = jnp.concatenate(
+            [jnp.zeros((C, 1), kdiff0.dtype),
+             0.5 * (kdiff0[:, 1:] + kdiff0[:, :-1]),
+             jnp.zeros((C, 1), kdiff0.dtype)], axis=1)                 # [C, K+1]
+        # mass-level pack (5 x K lanes); dpdz/h_divergence of THIS call are
+        # not yet known at this point, so gather the rk0-only mixing inputs
+        # here and the dpdz/hd pair below with the flux pack
+        ((pp1, pp2), (ke1, ke2), (tm1, tm2),
+         (div1, div2), (kd1, kd2)) = st.edge_pairs(
+            coe, state.pressure_p, state.ke, state.theta_m,
+            state.divergence, kdiff0)
+        # interface-level pack (3 x (K+1) lanes)
+        (w1, w2), (rw1, rw2), (kdi1, kdi2) = st.edge_pairs(
+            coe, state.w, state.rw, kdiff_i)
+    else:
+        (pp1, pp2), (ke1, ke2), (tm1, tm2) = st.edge_pairs(
+            coe, state.pressure_p, state.ke, state.theta_m)
+        (w1, w2), (rw1, rw2) = st.edge_pairs(coe, state.w, state.rw)
+    rw_e = 0.5 * (rw1 + rw2)                                           # [E, K+1]
+
+    # ---- horizontal 3rd-order advective edge values ----
     ru_edge_w = st.interface_interp(state.ru, fzm, fzp)                # [E, K+1]
-    qa_t, qa_w = st.take_packed(mesh.advCellsForEdge, state.theta_m, state.w)
-    flux_arr_t = (jnp.einsum("es,esk->ek", mesh.adv_coefs, qa_t)
-                  + jnp.sign(state.ru)
-                  * jnp.einsum("es,esk->ek", mesh.adv_coefs_3rd, qa_t))
-    flux_arr_w = (jnp.einsum("es,esk->ek", mesh.adv_coefs, qa_w)
-                  + jnp.sign(ru_edge_w)
-                  * jnp.einsum("es,esk->ek", mesh.adv_coefs_3rd, qa_w))
+    if cell_form:
+        # cell-form: per-cell directional Hessians + flat slot gathers
+        # (identical arithmetic to adv_coefs . q, ~5x fewer gather rows)
+        D_t, D_w = st.dir_second_deriv(mesh.dirHess, mesh.cellsOnCell,
+                                       state.theta_m, state.w)
+        (D1t, D2t), (D1w, D2w) = st.edge_slot_pairs(
+            coe, mesh.slotOnCell, D_t, D_w)
+        adv_scale = (mesh.dvEdge * mesh.dcEdge ** 2 / 12.0)[:, None]   # [E, 1]
+        c3 = nl.config_coef_3rd_order
+        flux_arr_t = (0.5 * mesh.dvEdge[:, None] * (tm1 + tm2)
+                      - adv_scale * ((D1t + D2t)
+                                     + jnp.sign(state.ru) * c3 * (D1t - D2t)))
+        flux_arr_w = (0.5 * mesh.dvEdge[:, None] * (w1 + w2)
+                      - adv_scale * ((D1w + D2w)
+                                     + jnp.sign(ru_edge_w) * c3 * (D1w - D2w)))
+    else:
+        # stencil form: packed [E, S]-row advCellsForEdge gathers
+        qa_t, qa_w = st.take_packed(mesh.advCellsForEdge, state.theta_m, state.w)
+        flux_arr_t = (jnp.einsum("es,esk->ek", mesh.adv_coefs, qa_t)
+                      + jnp.sign(state.ru)
+                      * jnp.einsum("es,esk->ek", mesh.adv_coefs_3rd, qa_t))
+        flux_arr_w = (jnp.einsum("es,esk->ek", mesh.adv_coefs, qa_w)
+                      + jnp.sign(ru_edge_w)
+                      * jnp.einsum("es,esk->ek", mesh.adv_coefs_3rd, qa_w))
 
     # ---- perturbation theta flux needs theta_m_save edge values first ----
     if rk_step > 0:
         (ts1, ts2), = st.edge_pairs(coe, save.theta_m_save)
         pert = (save.ru_save - state.ru) * 0.5 * (ts1 + ts2)           # [E, K]
 
-    # ---- main edge->cell sums: one packed [C, M] gather ----
+    # ---- main edge->cell sums: one packed [C, M] gather; the cell-form
+    # Coriolis/tangential inputs (u, u*pv_edge) ride in the same pack ----
     flux_w_e = ru_edge_w * flux_arr_w                                  # [E, K+1]
     flux_t_e = state.ru * flux_arr_t                                   # [E, K]
+    pack = [state.ru, flux_w_e, flux_t_e]
     if rk_step > 0 and "theta_pert_flux" not in _DEBUG_DISABLE:
-        g_ru, g_fw, g_ft, g_pert = st.take_packed(eoc, state.ru, flux_w_e,
-                                                  flux_t_e, pert)
-        pert_sum = jnp.einsum("cm,cmk->ck", sign_dv, g_pert)
+        pack.append(pert)
+    if cell_form:
+        pack += [state.u, state.u * state.pv_edge]
+    gs = st.take_packed(eoc, *pack)
+    g_ru, g_fw, g_ft = gs[0], gs[1], gs[2]
+    ptr = 3
+    if rk_step > 0 and "theta_pert_flux" not in _DEBUG_DISABLE:
+        pert_sum = jnp.einsum("cm,cmk->ck", sign_dv, gs[ptr])
+        ptr += 1
     else:
-        g_ru, g_fw, g_ft = st.take_packed(eoc, state.ru, flux_w_e, flux_t_e)
         pert_sum = None
+    if cell_form:
+        g_u, g_upv = gs[ptr], gs[ptr + 1]
     h_divergence = (jnp.einsum("cm,cmk->ck", sign_dv, g_ru)
                     * mesh.invAreaCell[:, None])
     tend_w = -jnp.einsum("cm,cmk->ck", sign_only, g_fw)                # [C, K+1]
@@ -138,11 +194,9 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     else:
         tend_rho, dpdz = prev.tend_rho, prev.dpdz
 
-    # ---- mixing coefficients (rk_step 0 only; needed before pack groups) ----
+    # ---- mixing coefficients (rk_step 0 only) ----
     if rk_step == 0:
-        kdiff = (jnp.zeros_like(state.theta_m)
-                 if nl.config_horiz_mixing == "2d_fixed"
-                 else _smagorinsky_kdiff(state, mesh, nl, invDt))
+        kdiff = kdiff0
         if nl.config_horiz_mixing == "2d_smagorinsky":
             h_mom_eddy_visc4 = nl.config_visc4_2dsmag * nl.config_len_disp ** 3
             h_theta_eddy_visc4 = h_mom_eddy_visc4
@@ -152,27 +206,11 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     else:
         kdiff = prev.kdiff
 
-    # ---- packed cell-field edge pairs ----
-    # static zz is gathered separately so XLA CSEs it across RK stages
-    zz1, zz2 = st.edge_pair(static.zz, coe)
+    # ---- edge pairs of cell fields computed within this call ----
     if rk_step == 0:
-        kdiff_i = jnp.concatenate(
-            [jnp.zeros((C, 1), kdiff.dtype),
-             0.5 * (kdiff[:, 1:] + kdiff[:, :-1]),
-             jnp.zeros((C, 1), kdiff.dtype)], axis=1)                  # [C, K+1]
-        # mass-level pack (5 x K lanes)
-        ((pp1, pp2), (dpdz1, dpdz2), (ke1, ke2), (hd1, hd2),
-         (tm1, tm2), (div1, div2), (kd1, kd2)) = st.edge_pairs(
-            coe, state.pressure_p, dpdz, state.ke, h_divergence,
-            state.theta_m, state.divergence, kdiff)
-        # interface-level pack (3 x (K+1) lanes)
-        (w1, w2), (rw1, rw2), (kdi1, kdi2) = st.edge_pairs(
-            coe, state.w, state.rw, kdiff_i)
+        (dpdz1, dpdz2), (hd1, hd2) = st.edge_pairs(coe, dpdz, h_divergence)
     else:
-        (pp1, pp2), (ke1, ke2), (hd1, hd2) = st.edge_pairs(
-            coe, state.pressure_p, state.ke, h_divergence)
-        (w1, w2), (rw1, rw2) = st.edge_pairs(coe, state.w, state.rw)
-    rw_e = 0.5 * (rw1 + rw2)                                           # [E, K+1]
+        (hd1, hd2), = st.edge_pairs(coe, h_divergence)
 
     # =================== U section ===================
     if rk_step == 0:
@@ -186,12 +224,24 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     wduz = st.vflux_mass_to_iface(state.u, rw_e, fzm, fzp, 1.0)
     tend_u = -rdzw[None, :] * st.delta(wduz)
 
-    # nonlinear Coriolis / PV flux (Ringler et al JCP 2009); u and pv_edge
-    # share the edgesOnEdge index -> one packed gather
-    u_eoe, pv_eoe = st.take_packed(mesh.edgesOnEdge, state.u, state.pv_edge)
-    workpv = 0.5 * (state.pv_edge[:, None, :] + pv_eoe)
-    q = jnp.einsum("ew,ewk->ek",
-                   mesh.weightsOnEdge * mesh.edgesOnEdge_mask, u_eoe * workpv)
+    # nonlinear Coriolis / PV flux (Ringler et al JCP 2009):
+    #   q[e] = sum_w W[e,w] * u[eoe] * 0.5*(pv[e] + pv[eoe])
+    if cell_form:
+        # split as 0.5*pv[e]*(sum W u) + 0.5*(sum W u*pv): both sums come
+        # from the per-cell tangential matrices applied to the u / u*pv
+        # values already gathered in the main eoc pack, read back per edge
+        # by one packed flat slot gather
+        t_u = st.cell_tangential(mesh.tanWeights, g_u)          # [C, M, K]
+        t_upv = st.cell_tangential(mesh.tanWeights, g_upv)
+        (tu1, tu2), (tupv1, tupv2) = st.edge_slot_pairs(
+            coe, mesh.slotOnCell, t_u, t_upv)
+        q = 0.5 * state.pv_edge * (tu1 + tu2) + 0.5 * (tupv1 + tupv2)
+    else:
+        # u and pv_edge share the edgesOnEdge index -> one packed gather
+        u_eoe, pv_eoe = st.take_packed(mesh.edgesOnEdge, state.u, state.pv_edge)
+        workpv = 0.5 * (state.pv_edge[:, None, :] + pv_eoe)
+        q = jnp.einsum("ew,ewk->ek",
+                       mesh.weightsOnEdge * mesh.edgesOnEdge_mask, u_eoe * workpv)
 
     if "q" in _DEBUG_DISABLE:
         q = q * 0.0

@@ -50,6 +50,8 @@ _MESH_FIELDS = {
     "meshScalingDel2": ("edge", None), "meshScalingDel4": ("edge", None),
     "advCellsForEdge": ("edge", "cell"), "advMaskForEdge": ("edge", None),
     "adv_coefs": ("edge", None), "adv_coefs_3rd": ("edge", None),
+    "dirHess": ("cell", None), "tanWeights": ("cell", None),
+    "slotOnCell": ("edge", None),
     "coeffs_reconstruct": ("cell", None), "defc_a": ("cell", None),
     "defc_b": ("cell", None), "fEdge": ("edge", None), "fVertex": ("vertex", None),
 }
