@@ -25,6 +25,10 @@ class Namelist:
     config_time_integration_order: int = 3    # SRK3
 
     # --- advection ---
+    # APVM upwinding of pv_edge (Ringler et al. JCP 2010; MPAS default 0.5).
+    # The reference never applies it (rk_timestep.rg:453); our validation
+    # baselines were established at 0.0 to match — set 0.5 for MPAS fidelity.
+    config_apvm_upwinding: float = 0.0
     config_theta_adv_order: int = 3
     config_w_adv_order: int = 3
     config_u_vadv_order: int = 3
@@ -45,6 +49,10 @@ class Namelist:
     config_mix_full: bool = False
     config_mpas_cam_coef: float = 0.0
     config_h_ScaleWithMesh: bool = False
+    # Hollingsworth-instability KE correction (Gassmann QJRMS 2013 blend of
+    # cell and vertex kinetic energy; dynamics_tasks.rg:392-418 carries the
+    # construction but the reference never enables it)
+    config_hollingsworth: bool = False
 
     # --- damping layers ---
     config_zd: float = 22000.0                # w-damping layer base height [m]

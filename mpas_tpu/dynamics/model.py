@@ -145,8 +145,11 @@ def build_model(grid_path: str = DEFAULT_GRID,
     # solve diagnostics, reconstruction
     state = diag_ops.init_coupled_diagnostics(state, static, marr, vert)
     diags = diag_ops.compute_solve_diagnostics(
-        state, marr, hollingsworth=False, reconstruct_v=True,
-        cell_form=getattr(nl, "config_cell_form_ops", True))
+        state, marr, hollingsworth=getattr(nl, "config_hollingsworth", False),
+        reconstruct_v=True,
+        cell_form=getattr(nl, "config_cell_form_ops", True),
+        apvm_upwinding=getattr(nl, "config_apvm_upwinding", 0.0),
+        dt=nl.config_dt / nl.config_dynamics_split_steps)
     state = state.replace(**diags)
     zonal, meridional = diag_ops.reconstruct_velocity(state.u, marr)
     state = state.replace(uReconstructZonal=zonal, uReconstructMeridional=meridional)

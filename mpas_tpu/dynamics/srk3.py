@@ -77,8 +77,12 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
             # diagnostics of the current stage state (solve_diagnostics);
             # the cell-center reconstruction feeds the curvature terms
             diags = diag_ops.compute_solve_diagnostics(
-                state, mesh, hollingsworth=False, reconstruct_v=(rk_step == 0),
-                cell_form=getattr(nl, "config_cell_form_ops", True))
+                state, mesh,
+                hollingsworth=getattr(nl, "config_hollingsworth", False),
+                reconstruct_v=(rk_step == 0),
+                cell_form=getattr(nl, "config_cell_form_ops", True),
+                apvm_upwinding=getattr(nl, "config_apvm_upwinding", 0.0),
+                dt=dt_dynamics)
             state = state.replace(**diags)
             if rk_step == 0:
                 zonal, meridional = diag_ops.reconstruct_velocity(state.u, mesh)

@@ -22,13 +22,19 @@ from . import stencils as st
 
 def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
                               reconstruct_v: bool = True,
-                              cell_form: bool = True):
+                              cell_form: bool = True,
+                              apvm_upwinding: float = 0.0, dt: float = 0.0):
     """Returns dict of updated diagnostic fields:
     ke, divergence, vorticity, pv_edge, rho_edge, v (if reconstruct_v).
 
     `cell_form`: compute the tangential velocity via the per-cell Thuburn
     matrices (mesh.tanWeights + slot gathers) instead of the [E, W2]-row
-    edgesOnEdge gather — identical arithmetic, far fewer gather rows."""
+    edgesOnEdge gather — identical arithmetic, far fewer gather rows.
+
+    `apvm_upwinding` > 0 applies the anticipated-potential-vorticity
+    upwinding of pv_edge (Ringler et al. JCP 2010 eq. 72; MPAS
+    atm_compute_solve_diagnostics, skipped by the reference at
+    rk_timestep.rg:453): pv_edge -= apvm*dt*(v*gradPVt + u*gradPVn)."""
     u = state.u
     h = state.rho_zz
 
@@ -50,6 +56,12 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
     divergence = jnp.einsum("cm,cmk->ck", w_div, g_u)
     ke = jnp.einsum("cm,cmk->ck", w_ke, g_ke)
 
+    kite_area = None
+    if hollingsworth or apvm_upwinding > 0.0:
+        kite_area = jnp.take_along_axis(
+            jnp.take(mesh.kiteAreasOnVertex, mesh.verticesOnCell, axis=0),
+            mesh.kiteForCell[..., None], axis=2)[..., 0]       # [C, M]
+
     if hollingsworth:
         # AG's KE construction (dynamics_tasks.rg:392-418)
         r = 0.25 * mesh.invAreaTriangle[:, None]
@@ -57,9 +69,6 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
             ke_edge, mesh.edgesOnVertex, jnp.ones_like(mesh.edgesOnVertexSign)) * r
         ke_fact = 1.0 - 0.375
         ke = ke * ke_fact
-        kite_area = jnp.take_along_axis(
-            jnp.take(mesh.kiteAreasOnVertex, mesh.verticesOnCell, axis=0),
-            mesh.kiteForCell[..., None], axis=2)[..., 0]       # [C, M]
         kv = jnp.take(ke_vertex, mesh.verticesOnCell, axis=0)  # [C, M, K]
         ke = ke + (1.0 - ke_fact) * mesh.invAreaCell[:, None] * jnp.einsum(
             "cm,cmk->ck", kite_area * mesh.edgesOnCell_mask, kv)
@@ -79,7 +88,22 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
 
     # potential vorticity at vertices and edges (dry: no 1/h factor)
     pv_vertex = mesh.fVertex[:, None] + vorticity
-    out["pv_edge"] = st.sum_vertices_to_edge(pv_vertex, mesh.verticesOnEdge)
+    pv_edge = st.sum_vertices_to_edge(pv_vertex, mesh.verticesOnEdge)
+
+    if apvm_upwinding > 0.0:
+        # anticipated PV: advect pv_edge upstream by apvm*dt along the full
+        # (normal u, tangential v) edge velocity
+        pvv = jnp.take(pv_vertex, mesh.verticesOnEdge, axis=0)   # [E, 2, K]
+        gradPVt = (pvv[:, 1] - pvv[:, 0]) / mesh.dvEdge[:, None]
+        pv_cell = mesh.invAreaCell[:, None] * jnp.einsum(
+            "cm,cmk->ck", kite_area * mesh.edgesOnCell_mask,
+            jnp.take(pv_vertex, mesh.verticesOnCell, axis=0))
+        gradPVn = st.diff_cell_to_edge(pv_cell, mesh.cellsOnEdge) / mesh.dcEdge[:, None]
+        v_edge = out.get("v", state.v)
+        pv_edge = pv_edge - apvm_upwinding * dt * (v_edge * gradPVt
+                                                   + u * gradPVn)
+
+    out["pv_edge"] = pv_edge
     return out
 
 

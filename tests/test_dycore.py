@@ -102,6 +102,32 @@ def test_dynamics_split_three():
     assert abs(s["u_max"]) < 40.0 and abs(s["w_min"]) < 0.5
 
 
+def test_apvm_upwinding(model):
+    """APVM (Ringler et al. 2010 eq. 72; MPAS config_apvm_upwinding, skipped
+    by the reference at rk_timestep.rg:453): the anticipated pv_edge is a
+    bounded O(apvm*dt*|grad pv|*|vel|) perturbation of the centered value,
+    and it vanishes for apvm=0."""
+    nl = model.namelist
+    d0 = D.compute_solve_diagnostics(model.state, model.mesh_arrays,
+                                     reconstruct_v=True,
+                                     apvm_upwinding=0.0, dt=nl.config_dt)
+    d1 = D.compute_solve_diagnostics(model.state, model.mesh_arrays,
+                                     reconstruct_v=True,
+                                     apvm_upwinding=0.5, dt=nl.config_dt)
+    pv0 = np.asarray(d0["pv_edge"])
+    pv1 = np.asarray(d1["pv_edge"])
+    dpv = np.abs(pv1 - pv0)
+    assert dpv.max() > 0.0                      # it does something
+    assert dpv.max() < 0.5 * np.abs(pv0).max()  # ...but stays a correction
+    # a full step with APVM + Hollingsworth enabled stays finite & steady-ish
+    from mpas_tpu.dynamics import srk3
+    nl2 = nl.replace(config_apvm_upwinding=0.5, config_hollingsworth=True)
+    S1 = srk3.atm_srk3(model.state, model.static, model.mesh_arrays,
+                       model.vert, nl2, nl.config_dt)
+    assert not bool(jnp.any(jnp.isnan(S1.u)))
+    assert float(jnp.abs(S1.w).max()) < 0.5
+
+
 def test_hollingsworth_ke(model):
     """The Hollingsworth KE blend runs and stays within the plain-KE scale."""
     d0 = D.compute_solve_diagnostics(model.state, model.mesh_arrays,
