@@ -60,13 +60,21 @@ def subdivide(points, levels: int):
     return points
 
 
-def lloyd_relax(points, iterations: int = 4):
+def lloyd_relax(points, iterations: int = 4, density_fn=None,
+                overrelax: float = 1.0):
     """Spherical Lloyd iterations toward a centroidal Voronoi tessellation.
 
     Each generator moves to the (area-weighted) centroid of its Voronoi
     cell, computed exactly from the kite decomposition: the part of the cell
     inside each Delaunay triangle is the kite (p, m1, circumcenter, m2),
-    split into two planar sub-triangles."""
+    split into two planar sub-triangles.
+
+    `density_fn(xyz [N,3]) -> rho [N]` makes the CVT variable-resolution
+    (Ringler et al. 2008 / MPAS variable meshes): each sub-triangle's
+    contribution is weighted by the density at its centroid, so converged
+    cell spacing goes as rho^(-1/4).  `overrelax` > 1 steps past the
+    centroid (x + w*(centroid - x)), accelerating the slow point migration
+    of plain Lloyd on variable-density problems."""
     for _ in range(iterations):
         tris = _triangulate(points)
         cc = _circumcenters(points, tris)
@@ -84,11 +92,37 @@ def lloyd_relax(points, iterations: int = 4):
             for a, b in ((m1, cc), (cc, m2)):
                 area = 0.5 * np.linalg.norm(np.cross(a - p, b - p), axis=1)
                 cen = (p + a + b) / 3.0
+                if density_fn is not None:
+                    csph = cen / np.linalg.norm(cen, axis=1, keepdims=True)
+                    area = area * density_fn(csph)
                 np.add.at(num, idx, cen * area[:, None])
                 np.add.at(den, idx, area)
         new = num / den[:, None]
+        if overrelax != 1.0:
+            new = points + overrelax * (new - points)
         points = new / np.linalg.norm(new, axis=1, keepdims=True)
     return points
+
+
+def circular_refinement_density(lat_c: float, lon_c: float,
+                                ratio: float = 2.0, radius: float = 0.5,
+                                transition: float = 0.2):
+    """Density function for a circular refinement region: cell spacing is
+    `ratio`x finer than the background inside the great-circle `radius`
+    (radians) around (lat_c, lon_c), blended by tanh over `transition`.
+    Density normalized to max 1 in the fine region (rho = (h_max/h)^4,
+    the MPAS meshDensity convention)."""
+    g4 = float(ratio) ** 4
+    cx = np.array([np.cos(lat_c) * np.cos(lon_c),
+                   np.cos(lat_c) * np.sin(lon_c),
+                   np.sin(lat_c)])
+
+    def density(xyz):
+        r = _arc(xyz, cx[None, :])
+        w = 0.5 * (1.0 + np.tanh((radius - r) / transition))  # 1 inside
+        return (1.0 + (g4 - 1.0) * w) / g4
+
+    return density
 
 
 def _circumcenters(points, tris):
@@ -127,14 +161,21 @@ def _arc(a, b):
 # ---------------------------------------------------------------------------
 
 def generate_mesh(levels: int = 4, lloyd_iterations: int = 4,
-                  sphere_radius: float = constants.sphere_radius) -> Mesh:
-    """Generate the x1.{10*4^levels+2} quasi-uniform CVT mesh.
+                  sphere_radius: float = constants.sphere_radius,
+                  density_fn=None, overrelax: float = 1.0) -> Mesh:
+    """Generate the x1.{10*4^levels+2} CVT mesh.
 
     levels=4 -> 2562 cells (the bundled grid), 5 -> 10242, 6 -> 40962,
-    7 -> 163842."""
+    7 -> 163842.  `density_fn` (see circular_refinement_density) makes the
+    tessellation variable-resolution; meshDensity is then stamped from it so
+    the del2/del4 meshScaling* and w-damping dss consume the real local
+    density (atm_compute_mesh_scaling, dynamics_tasks.rg:595-646).  Variable
+    meshes want more Lloyd iterations (>=20) to migrate points into the
+    refinement region."""
     pts = subdivide(icosahedron_points(), levels)
     if lloyd_iterations:
-        pts = lloyd_relax(pts, lloyd_iterations)
+        pts = lloyd_relax(pts, lloyd_iterations, density_fn=density_fn,
+                          overrelax=overrelax)
 
     # order cells for horizontal-gather locality: latitude bands, then lon
     lat = np.arcsin(np.clip(pts[:, 2], -1, 1))
@@ -314,7 +355,11 @@ def generate_mesh(levels: int = 4, lloyd_iterations: int = 4,
     m.dvEdge = dvEdge * a
     m.dcEdge = dcEdge * a
     m.angleEdge = angleEdge
-    m.meshDensity = np.ones(C)
+    if density_fn is not None:
+        rho = density_fn(pts)
+        m.meshDensity = rho / rho.max()
+    else:
+        m.meshDensity = np.ones(C)
     m.weightsOnEdge = weightsOnEdge
     m.invAreaCell = 1.0 / m.areaCell
     m.invAreaTriangle = 1.0 / m.areaTriangle

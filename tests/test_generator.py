@@ -58,3 +58,24 @@ def test_orientation_convention_matches_loader(gen_mesh, mesh):
         dv = pv[m.verticesOnEdge[:, 1]] - pv[m.verticesOnEdge[:, 0]]
         s = np.einsum("ij,ij->i", np.cross(dc, dv), pe)
         assert (s > 0).mean() > 0.99
+
+
+def test_variable_resolution_mesh():
+    """Density-weighted Lloyd converges toward rho^(-1/4) spacing: a 4x-area
+    density contrast gives measurably finer cells in the refinement region,
+    the mesh still validates, and meshDensity is stamped for the del2/del4
+    mesh scaling."""
+    from mpas_tpu.mesh.generator import circular_refinement_density
+    dens = circular_refinement_density(0.0, 0.0, ratio=2.0, radius=0.9,
+                                       transition=0.25)
+    m = generate_mesh(levels=3, lloyd_iterations=200, density_fn=dens,
+                      overrelax=2.0)
+    m.validate()
+    assert m.meshDensity.max() == 1.0 and m.meshDensity.min() < 0.2
+    cx = np.stack([np.cos(m.latCell) * np.cos(m.lonCell),
+                   np.cos(m.latCell) * np.sin(m.lonCell),
+                   np.sin(m.latCell)], axis=1)
+    r = np.arccos(np.clip(cx[:, 0], -1, 1))   # distance to (0,0)
+    fine = np.sqrt(m.areaCell[r < 0.5].mean())
+    coarse = np.sqrt(m.areaCell[r > 1.8].mean())
+    assert coarse / fine > 1.5, (coarse, fine)
