@@ -152,6 +152,19 @@ def _triangle_areas(points, tris):
             + _spherical_angle(c, a, b) - np.pi)
 
 
+def _signed_excess(a, b, c):
+    """Signed spherical-triangle area (Oosterom-Strackee): positive when
+    a,b,c wind counterclockwise seen from outside the sphere.  Needed for
+    kite decompositions on variable-resolution meshes, where an obtuse
+    Delaunay triangle puts the circumcenter outside the triangle and one
+    kite sub-triangle flips orientation (its area must subtract)."""
+    det = np.einsum("...i,...i->...", a, np.cross(b, c))
+    denom = (1.0 + np.einsum("...i,...i->...", a, b)
+             + np.einsum("...i,...i->...", b, c)
+             + np.einsum("...i,...i->...", c, a))
+    return 2.0 * np.arctan2(det, denom)
+
+
 def _arc(a, b):
     return np.arccos(np.clip(np.einsum("...i,...i->...", a, b), -1.0, 1.0))
 
@@ -216,7 +229,6 @@ def generate_mesh(levels: int = 4, lloyd_iterations: int = 4,
     verticesOnEdge[wrong] = verticesOnEdge[wrong][:, ::-1]
 
     # --- per-cell orderings (CCW), vectorized over all (cell, edge) pairs ---
-    maxEdges = 6
     east = np.cross([0.0, 0.0, 1.0], pts)
     east /= np.maximum(np.linalg.norm(east, axis=1, keepdims=True), 1e-12)
     north = np.cross(pts, east)
@@ -233,6 +245,10 @@ def generate_mesh(levels: int = 4, lloyd_iterations: int = 4,
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     pos_in_cell = np.arange(2 * E) - starts[pc]
     nEdgesOnCell = counts.astype(np.int32)
+    # Quasi-uniform CVT meshes are hexagonal (12 pentagons), but density-
+    # weighted Lloyd produces heptagons in refinement transition zones, so
+    # the padded width must come from the actual tessellation.
+    maxEdges = max(6, int(counts.max()))
     edgesOnCell = np.zeros((C, maxEdges), dtype=np.int64)
     edgesOnCell[pc, pos_in_cell] = pe
     # position of each edge within each of its two cells' CCW lists
@@ -293,14 +309,8 @@ def generate_mesh(levels: int = 4, lloyd_iterations: int = 4,
         m1 /= np.linalg.norm(m1, axis=1, keepdims=True)
         m2 = ci + cnext
         m2 /= np.linalg.norm(m2, axis=1, keepdims=True)
-        t1 = np.stack([ci, m2, vxyz], axis=1)
-        t2 = np.stack([ci, vxyz, m1], axis=1)
-
-        def excess(t):
-            a, b, c_ = t[:, 0], t[:, 1], t[:, 2]
-            return (_spherical_angle(a, b, c_) + _spherical_angle(b, c_, a)
-                    + _spherical_angle(c_, a, b) - np.pi)
-        kiteAreasOnVertex[:, i] = excess(t1) + excess(t2)
+        kiteAreasOnVertex[:, i] = (_signed_excess(ci, m2, vxyz)
+                                   + _signed_excess(ci, vxyz, m1))
     areaTriangle = kiteAreasOnVertex.sum(axis=1)
 
     areaCell = np.zeros(C)

@@ -34,7 +34,12 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
     `apvm_upwinding` > 0 applies the anticipated-potential-vorticity
     upwinding of pv_edge (Ringler et al. JCP 2010 eq. 72; MPAS
     atm_compute_solve_diagnostics, skipped by the reference at
-    rk_timestep.rg:453): pv_edge -= apvm*dt*(v*gradPVt + u*gradPVn)."""
+    rk_timestep.rg:453): pv_edge -= apvm*dt*(v*gradPVt + u*gradPVn).
+    `dt` is required (> 0) whenever apvm_upwinding > 0."""
+    if apvm_upwinding > 0.0 and not dt > 0.0:
+        raise ValueError(
+            f"apvm_upwinding={apvm_upwinding} requires dt > 0 (got {dt}); "
+            "a zero dt silently disables the APVM correction")
     u = state.u
     h = state.rho_zz
 
@@ -99,6 +104,11 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
             "cm,cmk->ck", kite_area * mesh.edgesOnCell_mask,
             jnp.take(pv_vertex, mesh.verticesOnCell, axis=0))
         gradPVn = st.diff_cell_to_edge(pv_cell, mesh.cellsOnEdge) / mesh.dcEdge[:, None]
+        # When reconstruct_v=False (RK stages 1-2 in srk3), this reuses the
+        # stage-0 tangential velocity state.v while u and pv are current-
+        # stage.  Intentional: MPAS carries the same staleness (v is only
+        # refreshed where solve_diagnostics reconstructs it), and the APVM
+        # term is a small dissipative correction insensitive to O(dt) lag.
         v_edge = out.get("v", state.v)
         pv_edge = pv_edge - apvm_upwinding * dt * (v_edge * gradPVt
                                                    + u * gradPVn)

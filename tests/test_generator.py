@@ -60,16 +60,21 @@ def test_orientation_convention_matches_loader(gen_mesh, mesh):
         assert (s > 0).mean() > 0.99
 
 
-def test_variable_resolution_mesh():
-    """Density-weighted Lloyd converges toward rho^(-1/4) spacing: a 4x-area
-    density contrast gives measurably finer cells in the refinement region,
-    the mesh still validates, and meshDensity is stamped for the del2/del4
-    mesh scaling."""
+@pytest.fixture(scope="module")
+def var_mesh():
     from mpas_tpu.mesh.generator import circular_refinement_density
     dens = circular_refinement_density(0.0, 0.0, ratio=2.0, radius=0.9,
                                        transition=0.25)
-    m = generate_mesh(levels=3, lloyd_iterations=200, density_fn=dens,
-                      overrelax=2.0)
+    return generate_mesh(levels=3, lloyd_iterations=200, density_fn=dens,
+                         overrelax=2.0)
+
+
+def test_variable_resolution_mesh(var_mesh):
+    """Density-weighted Lloyd converges toward rho^(-1/4) spacing: a 4x-area
+    density contrast gives measurably finer cells in the refinement region,
+    the mesh still validates (signed kite areas handle the obtuse transition
+    triangles), and meshDensity is stamped for the del2/del4 mesh scaling."""
+    m = var_mesh
     m.validate()
     assert m.meshDensity.max() == 1.0 and m.meshDensity.min() < 0.2
     cx = np.stack([np.cos(m.latCell) * np.cos(m.lonCell),
@@ -79,3 +84,23 @@ def test_variable_resolution_mesh():
     fine = np.sqrt(m.areaCell[r < 0.5].mean())
     coarse = np.sqrt(m.areaCell[r > 1.8].mean())
     assert coarse / fine > 1.5, (coarse, fine)
+
+
+def test_variable_resolution_integrates(var_mesh):
+    """The variable-resolution mesh integrates 10 JW steps stably: no NaNs,
+    bounded w, bounded drift from the initial jet (the mesh-quality test the
+    reference's bundled-grid-only pipeline never exercises)."""
+    import jax.numpy as jnp
+    from mpas_tpu.config import Namelist
+    from mpas_tpu.dynamics.model import build_model
+
+    nl = Namelist(config_nvertlevels=8, config_ztop=30000.0, dtype="float64",
+                  config_jw_u_perturbation=0.0, config_dt=480.0)
+    model = build_model(namelist=nl, mesh=var_mesh)
+    S = model.state
+    u0 = jnp.asarray(S.u)
+    for _ in range(10):
+        S = model.step_fn(S)
+    assert not bool(jnp.any(jnp.isnan(S.u)))
+    assert float(jnp.abs(S.w).max()) < 0.5
+    assert float(jnp.abs(S.u - u0).max()) < 5.0
