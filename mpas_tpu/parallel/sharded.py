@@ -25,11 +25,6 @@ from .halo import ExchangeArrays, HaloExchange, HaloTables
 from ..dynamics import srk3
 
 
-def _gather_struct(obj, index_fn, dtype_map=None):
-    """Apply per-field gather/remap via a spec dict."""
-    raise NotImplementedError
-
-
 # field -> (entity of its first axis, remap target for index arrays or None)
 _MESH_FIELDS = {
     "cellsOnEdge": ("edge", "cell"), "verticesOnEdge": ("edge", "vertex"),
@@ -87,6 +82,7 @@ class ShardedModel:
     state: Any            # State with leading [S] axis
     namelist: Any
     step_fn: Any = None
+    summarize_fn: Any = None
 
     def step(self, n: int = 1):
         for _ in range(n):
@@ -210,6 +206,7 @@ def shard_model(model, n_shards: int, metis_path: str | None = None,
                       mesh_arrays=marr, static=static, vert=vert,
                       tables=tables, state=state, namelist=nl)
     sm.step_fn = make_sharded_step(sm, dt=nl.config_dt)
+    sm.summarize_fn = make_sharded_summarize(sm)
     return sm
 
 
@@ -236,16 +233,74 @@ def make_sharded_step(sm: ShardedModel, dt: float):
     return step
 
 
+def make_sharded_summarize(sm: ShardedModel):
+    """Jitted in-program global diagnostics: owned-entity masking + pmin/pmax
+    /psum over the 'dom' mesh axis — the TPU-native replacement for the
+    reference's stubbed mpas_dmpar_* MPI reductions (rk_timestep.rg:207-210,
+    309-311).  Returns summarize(state) -> dict of replicated scalars."""
+    dtype = sm.state.theta_m.dtype
+    p = sm.partition
+    sh = NamedSharding(sm.jax_mesh, P("dom"))
+    cm = jax.device_put(jnp.asarray(np.asarray(p.cell_owned_mask) > 0), sh)
+    em = jax.device_put(jnp.asarray(np.asarray(p.edge_owned_mask) > 0), sh)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def local(cm_, em_, state):
+        cmask, emask = cm_[0][:, None], em_[0][:, None]
+        st = jax.tree.map(lambda x: x[0], state)
+        # masked extrema; NaNs tracked separately so the where() masking
+        # cannot hide them
+        def mm(x, mask):
+            lo = jnp.min(jnp.where(mask, x, big))
+            hi = jnp.max(jnp.where(mask, x, -big))
+            return (jax.lax.pmin(lo, "dom"), jax.lax.pmax(hi, "dom"))
+        w_min, w_max = mm(st.w, cmask)
+        u_min, u_max = mm(st.u, emask)
+        th_min, th_max = mm(st.theta_m, cmask)
+        wsp = jnp.sqrt(st.u ** 2 + st.v ** 2)
+        wsp_max = jax.lax.pmax(jnp.max(jnp.where(emask, wsp, -big)), "dom")
+        nan_local = (jnp.any(jnp.isnan(jnp.where(cmask, st.w, 0.0)))
+                     | jnp.any(jnp.isnan(jnp.where(emask, st.u, 0.0))))
+        nan_count = jax.lax.psum(nan_local.astype(jnp.int32), "dom")
+        return dict(w_min=w_min, w_max=w_max, u_min=u_min, u_max=u_max,
+                    wsp_max=wsp_max, theta_min=th_min, theta_max=th_max,
+                    nan_detected=nan_count > 0)
+
+    mapped = jax.shard_map(local, mesh=sm.jax_mesh,
+                           in_specs=(P("dom"), P("dom"), P("dom")),
+                           out_specs=P())
+
+    @jax.jit
+    def summarize(state):
+        return mapped(cm, em, state)
+
+    return summarize
+
+
 def sharded_summarize(sm: ShardedModel):
-    """Global min/max diagnostics with owned-entity masking (the psum/pmax
-    version of summarize_timestep; rk_timestep.rg:29-359)."""
+    """Global min/max/NaN diagnostics of the current sharded state via the
+    jitted in-program reduction (make_sharded_summarize)."""
+    if sm.summarize_fn is None:
+        sm.summarize_fn = make_sharded_summarize(sm)
+    out = sm.summarize_fn(sm.state)
+    return {k: (bool(v) if k == "nan_detected" else float(v))
+            for k, v in out.items()}
+
+
+def host_summarize_oracle(sm: ShardedModel):
+    """Host-numpy reference for the jitted reduction (test oracle only)."""
     p = sm.partition
     cm = np.asarray(p.cell_owned_mask) > 0
     em = np.asarray(p.edge_owned_mask) > 0
     w = np.asarray(sm.state.w)
     u = np.asarray(sm.state.u)
+    v = np.asarray(sm.state.v)
+    th = np.asarray(sm.state.theta_m)
+    wsp = np.sqrt(u ** 2 + v ** 2)
     return dict(
         w_min=float(w[cm].min()), w_max=float(w[cm].max()),
         u_min=float(u[em].min()), u_max=float(u[em].max()),
+        wsp_max=float(wsp[em].max()),
+        theta_min=float(th[cm].min()), theta_max=float(th[cm].max()),
         nan_detected=bool(np.isnan(w[cm]).any() or np.isnan(u[em]).any()),
     )

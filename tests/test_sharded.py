@@ -116,3 +116,20 @@ def test_ppermute_matches_all_to_all(model):
     for name in ["u", "w", "theta_m", "rho_zz"]:
         scale = np.abs(g1[name]).max() + 1e-30
         assert np.abs(g1[name] - g2[name]).max() / scale < 1e-12, name
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_jitted_summarize_matches_host_oracle(model):
+    """The in-program pmin/pmax/psum summarize (the TPU-native replacement
+    for the reference's stubbed mpas_dmpar_* reductions,
+    rk_timestep.rg:207-210) matches the host-numpy masked reduction."""
+    from mpas_tpu.parallel.sharded import (host_summarize_oracle, shard_model,
+                                           sharded_summarize)
+    sm = shard_model(model, 8)
+    sm.step(1)
+    a = sharded_summarize(sm)
+    b = host_summarize_oracle(sm)
+    assert a["nan_detected"] == b["nan_detected"] == False  # noqa: E712
+    for k in ("w_min", "w_max", "u_min", "u_max", "wsp_max",
+              "theta_min", "theta_max"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-12, err_msg=k)
