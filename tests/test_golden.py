@@ -1,0 +1,148 @@
+"""Golden numerical validation (BASELINE.json "correctness" target).
+
+Three golden sources, mirroring the reference's verification strategy
+(/root/reference/README.md "Installing MPAS" steps 0-7; output.txt is its
+checked-in run transcript):
+
+1. A checked-in golden checkpoint of the reference benchmark configuration
+   (x1.2562, 5 levels, dt=720 s, 10 RK3 steps — constants.rg:16,26,60),
+   regenerated in-test and compared field-by-field (regression lock).
+2. Published Jablonowski-Williamson (QJRMS 2006) quantitative anchors on
+   the evolved solution.
+3. The day-15 state artifact from the full 15-day TPU run
+   (docs/validation/jw15_state.npz), checked against the features of the
+   reference's MPAS-Fortran golden plot (/root/reference/images/day15.png:
+   NH cyclone complex at 60-80N/0-60E, SH quiescent) and the published JW
+   day-15 behaviour.
+
+MPAS-Fortran itself cannot run in this environment (no Fortran model
+source); the published JW06 values plus the reference's checked-in
+MPAS-Fortran day-15 plot are the external anchors, and the checked-in
+golden locks our own numerics bitwise-tolerantly.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "jw_ref10.npz")
+DAY15 = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                     "validation", "jw15_state.npz")
+
+
+def _surface_pressure(model):
+    from mpas_tpu.ops.diagnostics import output_diagnostics
+    out = output_diagnostics(model.state, model.static)
+    vg = model.vgrid
+    p = np.asarray(out["pressure"])
+    # NOTE: the cf1/cf2/cf3 extrapolation is linear in z while p is
+    # exponential, so at 5 coarse levels it carries an O(8%) static offset;
+    # wave amplitudes are differences against the step-0 value.
+    return vg.cf1 * p[:, 0] + vg.cf2 * p[:, 1] + vg.cf3 * p[:, 2]
+
+
+@pytest.fixture(scope="module")
+def ref10_model():
+    """The reference benchmark configuration, integrated 10 steps in f64.
+    Returns (model, initial surface pressure)."""
+    from mpas_tpu.config import REFERENCE_NAMELIST
+    from mpas_tpu.dynamics.model import build_model
+    nl = REFERENCE_NAMELIST.replace(dtype="float64")
+    model = build_model(namelist=nl)
+    sp0 = _surface_pressure(model)
+    model.step(nl.config_run_duration_steps)
+    return model, sp0
+
+
+def test_golden_checkpoint_allclose(ref10_model):
+    """u, w, theta_m, rho allclose vs the checked-in golden after 10 RK3
+    steps on x1.2562 (the exact BASELINE.json correctness clause)."""
+    g = np.load(GOLDEN)
+    st = ref10_model[0].state
+    for name in ("u", "w", "theta_m", "rho_zz"):
+        a = np.asarray(getattr(st, name))
+        b = g[name]
+        scale = np.abs(b).max()
+        err = np.abs(a - b).max() / scale
+        # same dtype/platform reruns are ~bitwise; 1e-9 catches any real
+        # numerics change while tolerating XLA fusion-order drift
+        assert err < 1e-9, (name, err)
+
+
+def test_golden_surface_pressure(ref10_model):
+    g = np.load(GOLDEN)
+    sp = _surface_pressure(ref10_model[0])
+    err = np.abs(sp - g["surface_pressure"]).max()
+    assert err < 1.0, err          # Pa
+
+
+def test_ten_step_evolution_matches_jw_published(ref10_model):
+    """After 10 steps (~2 days) the JW perturbation is still in its linear
+    growth phase (JW06 Fig. 4: surface-pressure deviation of a few hPa
+    through day 4): jet intact at ~35 m/s, w small, ps drift small."""
+    model, sp0 = ref10_model
+    s = model.summarize()
+    assert 34.0 < s["u_max"] < 40.0          # jet neither decayed nor blown up
+    assert abs(s["w_min"]) < 0.1 and abs(s["w_max"]) < 0.1
+    assert not s["nan_detected"]
+    drift = np.abs(_surface_pressure(model) - sp0).max()
+    assert drift < 400.0, drift              # Pa; JW06 linear phase
+
+
+@pytest.mark.skipif(not os.path.exists(DAY15),
+                    reason="day-15 artifact not generated")
+class TestDay15:
+    """Quantitative checks of the checked-in day-15 state (26 levels, f32,
+    1800 steps on TPU) against the published JW day-15 behaviour and the
+    reference's MPAS-Fortran golden plot (images/day15.png)."""
+
+    @pytest.fixture(scope="class")
+    def day15(self):
+        return np.load(DAY15)
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from mpas_tpu.mesh.loader import load_mesh
+        return load_mesh("/root/reference/mesh_loading/x1.2562.grid.nc")
+
+    def test_wave_has_broken_in_nh(self, day15, mesh):
+        """Deep lows and strong highs along the NH storm track (day15.png
+        shows a multi-closed-contour cyclone complex; JW06 day-15 lows are
+        well below 960 hPa at converged resolution)."""
+        sp = day15["surface_pressure"]
+        lat = mesh.latCell * 180 / np.pi
+        nh = lat > 25.0
+        assert sp[nh].min() < 96000.0, sp[nh].min()
+        assert sp[nh].max() > 101800.0, sp[nh].max()
+
+    def test_storm_track_latitude(self, day15, mesh):
+        """The cyclone complex sits in the 40-85N band (day15.png: centers
+        near 60-80N after poleward drift of the breaking wave)."""
+        sp = day15["surface_pressure"]
+        lat = mesh.latCell * 180 / np.pi
+        i = sp.argmin()
+        assert 40.0 < lat[i] < 88.0, lat[i]
+
+    def test_sh_left_largely_undisturbed(self, day15, mesh):
+        """The perturbation is NH-only; the SH deviation must stay clearly
+        smaller than the NH wave.  (Unlike JW06's symmetric lat-lon/spectral
+        grids, the CVT mesh is not hemispherically symmetric, so truncation
+        error seeds SH baroclinic growth that is visible by day 15 at
+        480 km — the day-7 state is still quiet, see docs/VALIDATION.md.)"""
+        sp = day15["surface_pressure"]
+        lat = mesh.latCell * 180 / np.pi
+        nh_amp = np.abs(sp[lat > 25] - 1.0e5).max()
+        sh_amp = np.abs(sp[lat < -25] - 1.0e5).max()
+        assert sh_amp < 0.75 * nh_amp, (sh_amp, nh_amp)
+
+    def test_jet_intensified(self, day15):
+        """Wave breaking spins the jet up well past its initial 35 m/s
+        (JW06 day 15: >60 m/s winds in the developed wave)."""
+        u = day15["u"]
+        assert np.abs(u).max() > 50.0
+        assert np.abs(u).max() < 120.0       # but not runaway
+
+    def test_no_nans_bounded_w(self, day15):
+        assert np.isfinite(day15["w"]).all()
+        assert np.abs(day15["w"]).max() < 0.5
