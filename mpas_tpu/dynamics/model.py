@@ -53,31 +53,40 @@ class Model:
             self.step_count += 1
         return self.state
 
+    _radiation_fn: Callable = None
+
     def apply_physics(self, phys, julian: float | None = None):
-        """Run the physics driver on the current state and couple the
-        radiative heating into the dycore via rt_diabatic_tend (the
+        """Run the jitted radiation driver on the current state and couple
+        the radiative heating into the dycore via rt_diabatic_tend (the
         physics_driver -> atm_do_timestep coupling, atm_core.rg:64-68).
 
-        Host-side per radiation interval, like MPAS's hourly radiation
-        cadence against 12-minute dynamics steps."""
-        import numpy as np
+        Called once per radiation interval, like MPAS's hourly radiation
+        cadence against 12-minute dynamics steps; the compute runs entirely
+        on device (one compiled program), only the tiny time factors are
+        host-side."""
         from ..ops.diagnostics import output_diagnostics
-        from ..physics.driver import physics_driver
+        from ..physics.driver import make_radiation_fn, time_params
         if julian is None:
             julian = self.step_count * self.namelist.config_dt / 86400.0
+        if self._radiation_fn is None:
+            self._radiation_fn = make_radiation_fn(phys, self.dtype)
         out = output_diagnostics(self.state, self.static)
-        pressure = np.asarray(out["pressure"])
+        pressure = out["pressure"]
         vg = self.vgrid
         sp = (vg.cf1 * pressure[:, 0] + vg.cf2 * pressure[:, 1]
               + vg.cf3 * pressure[:, 2])
-        qv = (np.asarray(self.state.scalars[..., 0])
-              if self.state.scalars is not None else None)
-        st = dict(theta_m=np.asarray(self.state.theta_m),
-                  exner=np.asarray(self.state.exner),
-                  pressure=pressure, surface_pressure=sp, qv=qv)
-        pd = physics_driver(phys, st, self.mesh, julian)
-        self.state = self.state.replace(
-            rt_diabatic_tend=jnp.asarray(pd["rthraten"], self.dtype))
+        s = self.state
+        qv = s.scalars[..., 0] if s.scalars is not None else None
+        qc = (s.scalars[..., 1] if s.scalars is not None
+              and s.scalars.shape[-1] > 1 else None)
+        tp = time_params(phys, julian, self.dtype)
+        rthraten, diags = self._radiation_fn(
+            self.mesh_arrays.latCell, self.mesh_arrays.lonCell,
+            s.theta_m, s.exner, pressure, sp, qv, qc, tp)
+        self.state = s.replace(rt_diabatic_tend=rthraten.astype(self.dtype))
+        import numpy as np
+        pd = {k: np.asarray(v) for k, v in diags.items()}
+        pd["rthraten"] = np.asarray(rthraten)
         return pd
 
     def summarize(self):

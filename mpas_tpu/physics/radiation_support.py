@@ -72,15 +72,18 @@ def radozn(pmid: np.ndarray, pin: np.ndarray, ozmix: np.ndarray):
     (ascending); ozmix [cols, levsiz].  Extrapolation matches the reference:
     above the top data level o3 scales with p/pin[0]; below the bottom it is
     held constant."""
+    xp = np
+    if not isinstance(pmid, np.ndarray):          # jax tracer/array path
+        import jax.numpy as xp
     levsiz = pin.shape[0]
-    kupper = np.clip(np.searchsorted(pin, pmid, side="right") - 1, 0, levsiz - 2)
+    kupper = xp.clip(xp.searchsorted(pin, pmid, side="right") - 1, 0, levsiz - 2)
     dpu = pmid - pin[kupper]
     dpl = pin[kupper + 1] - pmid
-    oz_u = np.take_along_axis(ozmix, kupper, axis=1)
-    oz_l = np.take_along_axis(ozmix, kupper + 1, axis=1)
+    oz_u = xp.take_along_axis(ozmix, kupper, axis=1)
+    oz_l = xp.take_along_axis(ozmix, kupper + 1, axis=1)
     o3 = (oz_u * dpl + oz_l * dpu) / (dpl + dpu)
-    o3 = np.where(pmid < pin[0], ozmix[:, :1] * pmid / pin[0], o3)
-    o3 = np.where(pmid > pin[-1], ozmix[:, -1:], o3)
+    o3 = xp.where(pmid < pin[0], ozmix[:, :1] * pmid / pin[0], o3)
+    o3 = xp.where(pmid > pin[-1], ozmix[:, -1:], o3)
     return o3
 
 
@@ -145,3 +148,45 @@ def radconst(julian: float):
               + 0.000719 * np.cos(2 * rjul) + 0.000077 * np.sin(2 * rjul))
     solcon = constants.solcon_0 * eccfac
     return float(declin), float(solcon)
+
+
+# ---------------------------------------------------------------------------
+# jnp variants (the per-interval jitted path; the numpy versions above stay
+# as init-time/host tools and test oracles)
+# ---------------------------------------------------------------------------
+
+def vert_interpolate_j(Match_ps, aerosolc, m_hybi, pint):
+    """jnp vert_interpolate (ra_cam_radctl_support.rg:353-532): cumulative
+    aerosol column mass on hybrid data interfaces -> model-level mass mixing
+    ratios.  aerosolc [paerlev+1, naer] (column-independent climatology),
+    m_hybi [paerlev+1], pint [cols, pver+1], Match_ps [cols]."""
+    import jax.numpy as jnp
+    pverp = pint.shape[1]
+    pver = pverp - 1
+    paerlev = m_hybi.shape[0] - 1
+
+    v = m_hybi[None, :] * Match_ps[:, None]               # [cols, paerlev+1]
+    levels = [jnp.broadcast_to(aerosolc[0][None, :],
+                               (pint.shape[0], aerosolc.shape[1]))]
+    for k in range(1, pver):
+        x = pint[:, k]
+        ku = jnp.clip((v < x[:, None]).sum(axis=1) - 1, 0, paerlev - 1)
+        vu = jnp.take_along_axis(v, ku[:, None], 1)[:, 0]
+        vl = jnp.take_along_axis(v, (ku + 1)[:, None], 1)[:, 0]
+        dpu = x - vu
+        dpl = vl - x
+        au = jnp.take(aerosolc, ku, axis=0)               # [cols, naer]
+        al = jnp.take(aerosolc, ku + 1, axis=0)
+        interp = (au * dpl[:, None] + al * dpu[:, None]) / (dpl + dpu)[:, None]
+        above = (x < v[:, 0])[:, None]
+        below = (x > v[:, -1])[:, None]
+        levels.append(jnp.where(above, aerosolc[0][None, :],
+                                jnp.where(below, 0.0, interp)))
+    levels.append(jnp.zeros_like(levels[0]))              # top interface
+    AER = jnp.stack(levels, axis=1)                       # [cols, pver+1, naer]
+    AER = jnp.where(AER < 1e-40, 0.0, AER)
+
+    diff = AER[:, :-1] - AER[:, 1:]
+    diff = jnp.where(jnp.abs(diff) < 1e-15 * AER[:, 0:1], 0.0, diff)
+    m_to_mmr = constants.gravity / jnp.abs(pint[:, :-1] - pint[:, 1:])
+    return jnp.maximum(diff, 0.0) * m_to_mmr[:, :, None]

@@ -158,3 +158,34 @@ def aqsat(t, p, tb: SaturationTables):
     qsat = np.where(bad, 1.0, qsat)
     esat = np.where(bad, p, esat)
     return esat, qsat
+
+
+# ---------------------------------------------------------------------------
+# jnp variants (jit/shard_map-compatible; tables passed as a device dict
+# built by driver._device_tables)
+# ---------------------------------------------------------------------------
+
+def estblf_j(td, phys_j):
+    """jnp estblf: table lookup on the device-resident estbl array."""
+    import jax.numpy as jnp
+    tmin, tmax = phys_j["tmin"], phys_j["tmax"]
+    e = jnp.clip(td, tmin, tmax)
+    ai = jnp.floor(e - tmin)
+    i = ai.astype(jnp.int32)
+    w = tmin + ai - e + 1.0
+    tb0 = jnp.take(phys_j["estbl"], i)
+    tb1 = jnp.take(phys_j["estbl"], i + 1)
+    return w * tb0 - (tmin + ai - e) * tb1
+
+
+def aqsat_j(t, p, phys_j):
+    """jnp aqsat (ra_cam_radctl_support.rg:299-339)."""
+    import jax.numpy as jnp
+    omeps = 1.0 - constants.ep_2
+    esat = estblf_j(t, phys_j)
+    qsat = constants.ep_2 * esat / (p - omeps * esat)
+    qsat = jnp.minimum(1.0, qsat)
+    bad = qsat < 0.0
+    qsat = jnp.where(bad, 1.0, qsat)
+    esat = jnp.where(bad, p, esat)
+    return esat, qsat
