@@ -13,11 +13,25 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 
+def _honor_platform_env():
+    """The env var JAX_PLATFORMS=cpu alone is not reliable here (a TPU
+    plugin may claim the backend anyway); set the config explicitly before
+    any device query so --shards N can use the virtual CPU devices."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+
+
 def main(argv=None):
+    _honor_platform_env()
     ap = argparse.ArgumentParser(prog="python -m mpas_tpu",
                                  description="TPU-native MPAS-Atmosphere dycore")
     ap.add_argument("--grid", default="/root/reference/mesh_loading/x1.2562.grid.nc",
@@ -99,16 +113,18 @@ def main(argv=None):
     log(f"model ready in {time.time() - t0:.1f}s: {model.mesh.nCells} cells, "
         f"{model.mesh.nEdges} edges, {nl.config_nvertlevels} levels")
 
-    if args.restart:
-        load_restart(args.restart, model)
-        log(f"resumed from {args.restart} at step {model.step_count}")
-
     runner = model
-    if args.shards > 1:
+    sharded = args.shards > 1
+    if sharded:
         from .parallel.sharded import shard_model, sharded_summarize
-        import jax
         log(f"sharding over {args.shards} devices ...")
         runner = shard_model(model, args.shards)
+
+    if args.restart:
+        # a sharded checkpoint restores into the sharded runner, a
+        # single-device checkpoint into the model — same shard count required
+        load_restart(args.restart, runner)
+        log(f"resumed from {args.restart} at step {runner.step_count}")
 
     phys = None
     if args.physics:
@@ -116,39 +132,49 @@ def main(argv=None):
             ap.error(f"--radt-steps must be >= 1 (got {args.radt_steps})")
         from .physics.driver import physics_init
         phys = physics_init()
+        if sharded:
+            runner.enable_physics(phys)
 
     n_steps = nl.config_run_duration_steps
     t0 = time.time()
     for step in range(n_steps):
-        if phys is not None and args.shards <= 1 and step % args.radt_steps == 0:
-            pd = model.apply_physics(phys)
-            log(f"  physics: cldfra max={pd['cldfra'].max():.2f} "
-                f"OLR mean={pd['olr'].mean():.0f} W/m2 "
-                f"qr range=[{(pd['qrl'].min()*86400):.1f},"
-                f"{(pd['qrs'].max()*86400):.1f}] K/day")
+        if phys is not None and step % args.radt_steps == 0:
+            if sharded:
+                runner.apply_physics(phys)
+                log("  physics: radiation interval applied (sharded)")
+            else:
+                pd = model.apply_physics(phys)
+                log(f"  physics: cldfra max={pd['cldfra'].max():.2f} "
+                    f"OLR mean={pd['olr'].mean():.0f} W/m2 "
+                    f"qr range=[{(pd['qrl'].min()*86400):.1f},"
+                    f"{(pd['qrs'].max()*86400):.1f}] K/day")
         runner.step(1)
-        if args.shards > 1:
+        if sharded:
             from .parallel.sharded import sharded_summarize
             s = sharded_summarize(runner)
         else:
             s = model.summarize()
-        log(f"step {model.step_count if args.shards <= 1 else step + 1}: "
+        log(f"step {runner.step_count}: "
             f"w=[{s['w_min']:+.3e},{s['w_max']:+.3e}] "
             f"u=[{s['u_min']:+.2f},{s['u_max']:+.2f}]"
             + (" *** NaN detected ***" if s["nan_detected"] else ""))
         if s["nan_detected"]:
             log("aborting: NaN in prognostic fields")
             return 1
-        if (args.checkpoint_every and args.shards <= 1
-                and (step + 1) % args.checkpoint_every == 0):
-            save_restart(args.checkpoint_path, model)
+        if args.checkpoint_every and (step + 1) % args.checkpoint_every == 0:
+            save_restart(args.checkpoint_path, runner)
             log(f"checkpoint -> {args.checkpoint_path}")
     elapsed = time.time() - t0
     log(f"{n_steps} steps in {elapsed:.2f}s "
         f"({elapsed / max(n_steps, 1) * 1000:.1f} ms/step)")
 
-    if args.output and args.shards <= 1:
-        write_history(args.output, model, full_3d=args.output_full_3d)
+    if args.output:
+        if sharded:
+            from .io.history import gathered_state
+            write_history(args.output, model, state=gathered_state(runner, model),
+                          full_3d=args.output_full_3d)
+        else:
+            write_history(args.output, model, full_3d=args.output_full_3d)
         log(f"history -> {args.output}")
     return 0
 

@@ -81,21 +81,35 @@ def write_history(path: str, model, state=None, full_3d: bool = False):
 
 def save_restart(path: str, model):
     """Exact-restart checkpoint: every prognostic/persistent state field plus
-    the step counter, as a compressed npz (host-side)."""
+    the step counter, as a compressed npz (host-side).
+
+    Works for both the single-device Model and the ShardedModel: sharded
+    state is saved with its [S, L, ...] local-block layout plus a shard-count
+    marker, so resume with the same shard count is bitwise exact."""
     arrays = {}
     for f in dataclasses.fields(model.state):
         x = getattr(model.state, f.name)
         if x is not None:
             arrays[f.name] = np.asarray(x)
     arrays["__step_count__"] = np.asarray(model.step_count)
+    n_shards = getattr(model, "n_shards", 0)
+    if n_shards:
+        arrays["__n_shards__"] = np.asarray(n_shards)
     np.savez_compressed(path, **arrays)
     return path
 
 
 def load_restart(path: str, model):
-    """Restore a checkpoint written by save_restart (bitwise exact)."""
+    """Restore a checkpoint written by save_restart (bitwise exact).  A
+    sharded checkpoint requires a ShardedModel with the same shard count."""
     import jax.numpy as jnp
     data = np.load(path)
+    ck_shards = int(data["__n_shards__"]) if "__n_shards__" in data else 0
+    mdl_shards = getattr(model, "n_shards", 0)
+    if ck_shards != mdl_shards:
+        raise ValueError(
+            f"checkpoint written with {ck_shards or 'no'} shards cannot "
+            f"restore into a model with {mdl_shards or 'no'} shards")
     updates = {}
     for f in dataclasses.fields(model.state):
         if f.name in data:
@@ -104,3 +118,12 @@ def load_restart(path: str, model):
     model.state = model.state.replace(**updates)
     model.step_count = int(data["__step_count__"])
     return model
+
+
+def gathered_state(sm, model):
+    """Global State assembled from a ShardedModel's owned entries (for
+    history output of sharded runs)."""
+    import jax.numpy as jnp
+    g = sm.gather_state(model.mesh)
+    updates = {k: jnp.asarray(v) for k, v in g.items() if v is not None}
+    return model.state.replace(**updates)

@@ -83,11 +83,37 @@ class ShardedModel:
     namelist: Any
     step_fn: Any = None
     summarize_fn: Any = None
+    radiation_fn: Any = None
+    step_count: int = 0
 
     def step(self, n: int = 1):
         for _ in range(n):
             self.state = self.step_fn(self.state)
+            self.step_count += 1
         return self.state
+
+    @property
+    def dtype(self):
+        return self.state.theta_m.dtype
+
+    def apply_physics(self, phys, julian: float | None = None):
+        """Sharded physics coupling: the jitted columnar radiation runs
+        inside a shard_map over 'dom' (embarrassingly parallel, zero
+        collectives) and writes rt_diabatic_tend — physics is no longer
+        gated to single-device runs (atmphys_driver.rg:23-62)."""
+        from ..physics.driver import time_params
+        if julian is None:
+            julian = self.step_count * self.namelist.config_dt / 86400.0
+        if self.radiation_fn is None:
+            raise RuntimeError("call enable_physics(phys) first")
+        tp = time_params(phys, julian, self.dtype)
+        rthraten = self.radiation_fn(self.state, tp)
+        self.state = self.state.replace(
+            rt_diabatic_tend=rthraten.astype(self.dtype))
+
+    def enable_physics(self, phys):
+        if self.radiation_fn is None:
+            self.radiation_fn = make_sharded_radiation(self, phys)
 
     def gather_state(self, model_mesh) -> dict:
         """Collect owned entries back into global arrays (host-side)."""
@@ -166,6 +192,12 @@ def shard_model(model, n_shards: int, metis_path: str | None = None,
 
     if devices is None:
         devices = jax.devices()[:S]
+    if len(devices) < S:
+        raise ValueError(
+            f"shard_model({S}) needs {S} devices but only {len(devices)} are "
+            f"visible ({jax.devices()[0].platform}); for CPU testing set "
+            f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_"
+            f"count={S}")
     jmesh = JaxMesh(np.array(devices), ("dom",))
     sh = NamedSharding(jmesh, P("dom"))
     rep = NamedSharding(jmesh, P())
@@ -231,6 +263,44 @@ def make_sharded_step(sm: ShardedModel, dt: float):
         return mapped(sm.mesh_arrays, sm.static, sm.vert, sm.tables, state)
 
     return step
+
+
+def make_sharded_radiation(sm: ShardedModel, phys):
+    """Jitted sharded radiation: shard_map of the columnar radctl chain
+    (physics/driver.radiation_columns) over the 'dom' axis.  Halo columns
+    are computed redundantly, exactly like the dycore stencils, so no
+    exchange is needed.  Returns radiation(state, tp) -> rthraten [S, L, K]."""
+    from ..physics.driver import _device_tables, radiation_columns
+    dtype = sm.state.theta_m.dtype
+    rep = NamedSharding(sm.jax_mesh, P())
+    phys_j = {k: (jax.device_put(jnp.asarray(v), rep) if hasattr(v, "shape")
+                  else v)
+              for k, v in _device_tables(phys, dtype).items()}
+    vert = sm.vert
+    sq = lambda t: jax.tree.map(lambda x: x[0], t)
+
+    def local(marr, static, state, phys_d, tp):
+        m, st, sta = sq(marr), sq(state), sq(static)
+        pressure = sta.pressure_base + st.pressure_p
+        sp = (vert.cf1 * pressure[:, 0] + vert.cf2 * pressure[:, 1]
+              + vert.cf3 * pressure[:, 2])
+        qv = st.scalars[..., 0] if st.scalars is not None else None
+        qc = (st.scalars[..., 1] if st.scalars is not None
+              and st.scalars.shape[-1] > 1 else None)
+        rthraten, _ = radiation_columns(phys_d, m.latCell, m.lonCell,
+                                        st.theta_m, st.exner, pressure, sp,
+                                        qv, qc, tp)
+        return rthraten[None]
+
+    mapped = jax.shard_map(local, mesh=sm.jax_mesh,
+                           in_specs=(P("dom"), P("dom"), P("dom"), P(), P()),
+                           out_specs=P("dom"))
+
+    @jax.jit
+    def radiation(state, tp):
+        return mapped(sm.mesh_arrays, sm.static, state, phys_j, tp)
+
+    return radiation
 
 
 def make_sharded_summarize(sm: ShardedModel):

@@ -107,7 +107,9 @@ def cldovrlap(cldfra):
         return (clear, ck), clear
 
     C = c.shape[0]
-    init = (jnp.ones(C, c.dtype), jnp.zeros(C, c.dtype))
+    # carries derived from the input so they inherit its sharding/varying
+    # axes (shard_map scans reject unvarying init + varying output)
+    init = (jnp.ones_like(c[:, 0]), jnp.zeros_like(c[:, 0]))
     # scan from the top layer (k = K-1) downward
     _, clear_below = jax.lax.scan(step, init, c.T[::-1])
     clear_below = clear_below[::-1].T                     # [C, K] below layer k
@@ -161,8 +163,7 @@ def _sw_adding(tau, omega, g, inc, albedo):
         rb_new = r + t * t * rb / (1.0 - r * rb)
         return rb_new, rb
 
-    C = tau.shape[0]
-    rb0 = jnp.broadcast_to(albedo, (C,)).astype(tau.dtype)
+    rb0 = jnp.full_like(tau[:, 0], albedo)
     rb_final, rb_below = jax.lax.scan(up, rb0, (R.T, T.T))
     # rb_below[i] = reflectance below layer i (excl. layer i); [K, C]
 
@@ -320,7 +321,7 @@ def lw_fluxes(t, q, o3mmr, pmid, pint, cld_emis, cldfra, tsfc, emiss=1.0):
             f = f * tr_i + w * b_i * (1.0 - tr_i)
             return f, f
 
-        _, fdn = jax.lax.scan(dn_step, jnp.zeros(C, t.dtype),
+        _, fdn = jax.lax.scan(dn_step, jnp.zeros_like(t[:, 0]),
                               (tr.T[::-1], B.T[::-1]))
         fdn = fdn[::-1].T                                 # [C, K] at layer bottoms
         Fdn = Fdn + jnp.concatenate(

@@ -133,3 +133,61 @@ def test_jitted_summarize_matches_host_oracle(model):
     for k in ("w_min", "w_max", "u_min", "u_max", "wsp_max",
               "theta_min", "theta_max"):
         np.testing.assert_allclose(a[k], b[k], rtol=1e-12, err_msg=k)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_physics_matches_single_device(model):
+    """The shard_map'd radiation (columnar, zero collectives) produces the
+    same rt_diabatic_tend as the single-device jitted path (the physics
+    shards-gate removal, VERDICT item 6)."""
+    from mpas_tpu.parallel.sharded import shard_model
+    from mpas_tpu.physics.driver import physics_init
+    import copy
+    phys = physics_init()
+    m = copy.copy(model)         # do not mutate the session fixture's state
+    sm = shard_model(m, 8)
+    sm.enable_physics(phys)
+    sm.apply_physics(phys, julian=80.25)
+    m.apply_physics(phys, julian=80.25)
+    g = sm.gather_state(m.mesh)
+    a = np.asarray(m.state.rt_diabatic_tend)
+    b = g["rt_diabatic_tend"]
+    scale = np.abs(a).max() + 1e-30
+    assert np.abs(a - b).max() / scale < 1e-10, np.abs(a - b).max() / scale
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_checkpoint_roundtrip(model, tmp_path):
+    """Sharded save_restart/load_restart round-trips bitwise with the same
+    shard count and refuses a mismatched one."""
+    from mpas_tpu.io.history import load_restart, save_restart
+    from mpas_tpu.parallel.sharded import shard_model
+    sm = shard_model(model, 8)
+    sm.step(1)
+    path = str(tmp_path / "ck.npz")
+    save_restart(path, sm)
+    w_ref = np.asarray(sm.state.w).copy()
+    sm.step(1)
+    load_restart(path, sm)
+    np.testing.assert_array_equal(np.asarray(sm.state.w), w_ref)
+    assert sm.step_count == 1
+    with pytest.raises(ValueError):
+        load_restart(path, model)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_history_write(model, tmp_path):
+    """History output from a sharded run: gathered owned entries match the
+    single-device fields (step 0: identical states)."""
+    from mpas_tpu.io.history import gathered_state, write_history
+    from mpas_tpu.mesh.netcdf_io import read_netcdf
+    from mpas_tpu.parallel.sharded import shard_model
+    sm = shard_model(model, 8)
+    p1 = str(tmp_path / "sharded.nc")
+    p2 = str(tmp_path / "single.nc")
+    write_history(p1, model, state=gathered_state(sm, model))
+    write_history(p2, model)
+    d1 = read_netcdf(p1)
+    d2 = read_netcdf(p2)
+    for name in ("u", "w", "theta", "surface_pressure"):
+        np.testing.assert_allclose(d1[name], d2[name], rtol=1e-12)
