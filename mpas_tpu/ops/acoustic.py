@@ -223,10 +223,11 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
     theta_e = 0.5 * (th1 + th2)                                         # [E, K]
     sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
     wdiv = dts * mesh.invAreaCell[:, None]
-    # the mass and theta divergences share one packed [C, M] gather
-    g_ru, g_rut = st.take_packed(mesh.edgesOnCell, ru_p, ru_p * theta_e)
-    rs0 = -wdiv * jnp.einsum("cm,cmk->ck", sign_dv, g_ru)
-    ts0 = -wdiv * jnp.einsum("cm,cmk->ck", sign_dv, g_rut)
+    # the mass and theta divergences as column-form slot reductions
+    ((ru_sum,), (rut_sum,)) = st.slot_reduce(
+        mesh.edgesOnCell, [(ru_p, [sign_dv]), (ru_p * theta_e, [sign_dv])])
+    rs0 = -wdiv * ru_sum
+    ts0 = -wdiv * rut_sum
     if "ac_rs0" in _DEBUG_DISABLE:
         rs0 = rs0 * 0.0
     if "ac_ts0" in _DEBUG_DISABLE:

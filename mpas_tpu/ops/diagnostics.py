@@ -53,13 +53,18 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
     vorticity = st.sum_edges_to_vertex(u, mesh.edgesOnVertex, w_vortex)
     vorticity = vorticity * mesh.invAreaTriangle[:, None]
 
-    # divergence and cell kinetic energy share one packed [C, M] gather
+    # divergence and cell kinetic energy share the slot-gathered u: the KE
+    # edge value is efac * u^2 with efac a mesh constant, so its per-cell
+    # weight absorbs the gathered efac (column-form; st.slot_reduce doc)
     w_div = (mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
              * mesh.invAreaCell[:, None])
-    w_ke = 0.25 * mesh.edgesOnCell_mask * mesh.invAreaCell[:, None]
-    g_u, g_ke = st.take_packed(mesh.edgesOnCell, u, ke_edge)
-    divergence = jnp.einsum("cm,cmk->ck", w_div, g_u)
-    ke = jnp.einsum("cm,cmk->ck", w_ke, g_ke)
+    w_ke = (0.25 * mesh.edgesOnCell_mask * mesh.invAreaCell[:, None]
+            * jnp.take(mesh.dcEdge * mesh.dvEdge, mesh.edgesOnCell))
+    gu_slots = st.slot_gather(mesh.edgesOnCell, u)
+    divergence = sum(w_div[:, m][None, :] * gu_slots[m]
+                     for m in range(len(gu_slots))).T
+    ke = sum(w_ke[:, m][None, :] * gu_slots[m] ** 2
+             for m in range(len(gu_slots))).T
 
     kite_area = None
     if hollingsworth or apvm_upwinding > 0.0:
@@ -83,8 +88,9 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
     # tangential velocities (Thuburn et al JCP 2009)
     if reconstruct_v:
         if cell_form:
-            t_u = st.cell_tangential(mesh.tanWeights, g_u)
-            tu1, tu2 = st.edge_slot_pair(t_u, mesh.cellsOnEdge, mesh.slotOnCell)
+            t_u = st.cell_tangential_col(mesh.tanWeights, gu_slots)
+            tu1, tu2 = st.edge_slot_pair_col(t_u, mesh.cellsOnEdge,
+                                             mesh.slotOnCell)
             out["v"] = tu1 + tu2
         else:
             out["v"] = st.edges_on_edge_sum(u, mesh.edgesOnEdge,
@@ -121,10 +127,10 @@ def reconstruct_velocity(u, mesh):
     """Cell-center zonal/meridional wind from edge normal velocities
     (mpas_reconstruct_2d, dynamics_tasks.rg:1894-1948; coefficients are the
     tangent-plane LSQ matrix, mesh/coefficients.py)."""
-    ue = jnp.take(u, mesh.edgesOnCell, axis=0)                 # [C, M, K]
-    ux = jnp.einsum("cm,cmk->ck", mesh.coeffs_reconstruct[..., 0], ue)
-    uy = jnp.einsum("cm,cmk->ck", mesh.coeffs_reconstruct[..., 1], ue)
-    uz = jnp.einsum("cm,cmk->ck", mesh.coeffs_reconstruct[..., 2], ue)
+    ((ux, uy, uz),) = st.slot_reduce(
+        mesh.edgesOnCell, [(u, [mesh.coeffs_reconstruct[..., 0],
+                                mesh.coeffs_reconstruct[..., 1],
+                                mesh.coeffs_reconstruct[..., 2]])])
     clat = jnp.cos(mesh.latCell)[:, None]
     slat = jnp.sin(mesh.latCell)[:, None]
     clon = jnp.cos(mesh.lonCell)[:, None]

@@ -76,9 +76,8 @@ def set_smlstep_pert_variables(tend, static, mesh, vert):
     couple with zz at interfaces."""
     C, Kp1 = tend.tend_w.shape
     flux_e = st.interface_interp(tend.tend_u, vert.fzm, vert.fzp)    # [E, K+1]
-    fe = jnp.take(flux_e, mesh.edgesOnCell, axis=0)                  # [C, M, K+1]
-    zb_eff = static.zb_cell + jnp.sign(fe) * static.zb3_cell
-    metric = jnp.einsum("cm,cmk->ck", mesh.edgesOnCellSign, zb_eff * fe)
+    metric = st.zb_metric(flux_e, mesh.edgesOnCell, mesh.edgesOnCellSign,
+                          static.zb_cell, static.zb3_cell)
     zz_i = st.interface_interp(static.zz, vert.fzm, vert.fzp)
     tend_w = (tend.tend_w - metric) * zz_i
     tend_w = tend_w.at[:, 0].set(0.0).at[:, Kp1 - 1].set(0.0)
@@ -129,9 +128,8 @@ def recover_large_step_variables(state, ac, ruAvg, wwAvg, save, static, mesh,
     flux_sfc = vert.cf1 * ru[:, 0] + vert.cf2 * ru[:, 1] + vert.cf3 * ru[:, 2]
     flux_e = flux_e.at[:, 0].set(flux_sfc)
 
-    fe = jnp.take(flux_e, mesh.edgesOnCell, axis=0)                  # [C, M, K+1]
-    zb_eff = static.zb_cell + jnp.sign(fe) * static.zb3_cell
-    metric = jnp.einsum("cm,cmk->ck", mesh.edgesOnCellSign, zb_eff * fe)
+    metric = st.zb_metric(flux_e, mesh.edgesOnCell, mesh.edgesOnCellSign,
+                          static.zb_cell, static.zb3_cell)
     w = w + metric                                                   # adds surface row too
 
     rho_i = st.interface_interp(rho_zz, fzm, fzp)

@@ -77,17 +77,110 @@ def diff_cell_to_edge(f_c, cellsOnEdge):
     return c2 - c1
 
 
+def slot_reduce(idx, specs):
+    """Column-form weighted neighborhood reduction:
+        out[i][j][r, :] = sum_m specs[i].weights[j][r, m] * field_i[idx[r, m], :]
+
+    `idx` [R, M]; specs = list of (field [N, K_i], [w_0 [R, M], w_1, ...]).
+    Returns a list (per field) of lists (per weight set) of [R, K_i] arrays.
+
+    Why not take+einsum: a TPU row gather costs ~5 ns/row regardless of row
+    width (the row is one 164-byte random HBM access at K=41), and the
+    einsum runs over a [R, M, K->128]-lane-padded temporary.  Gathering
+    slot-wise along the minor axis of the TRANSPOSED field costs ~2.2 ns
+    /index, intermediates are unpadded [K, R], transposes are free on TPU
+    (measured: divergence-style reduce 1.12 -> 0.47 ms, [E,10] advection
+    reduce 6.25 -> 3.12 ms at 40962 cells, 41 levels, v5e — docs/PERF.md).
+    Weight sets of the same field share the per-slot gathers."""
+    R, M = idx.shape
+    outs = []
+    for f, wlist in specs:
+        fT = f.T                                        # [K, N] (free)
+        accs = [None] * len(wlist)
+        for m in range(M):
+            g = jnp.take(fT, idx[:, m], axis=1)         # [K, R]
+            for j, w in enumerate(wlist):
+                t = w[:, m][None, :] * g
+                accs[j] = t if accs[j] is None else accs[j] + t
+        outs.append([a.T for a in accs])
+    return outs
+
+
+def slot_gather(idx, field):
+    """Per-slot column-form gathers: list of M arrays [K, R] (transposed!)
+    with slot m holding field[idx[:, m], :].T.  Share these across several
+    weighted reductions of the same field (see slot_reduce's rationale)."""
+    fT = field.T
+    return [jnp.take(fT, idx[:, m], axis=1) for m in range(idx.shape[1])]
+
+
+def dir_second_deriv_col(dirHess, cellsOnCell, *fields):
+    """Column-form directional second derivatives (see dir_second_deriv):
+    per field, a list of M arrays [K, C] — D_m = dirHess[:,m,0]*q
+    + sum_i dirHess[:,m,1+i]*q[nbr_i].  The neighborhood gathers are
+    slot-wise axis-1 gathers; downstream edge reads use
+    edge_slot_pair_col without materializing (or relayouting) [C*M, K]."""
+    M = cellsOnCell.shape[1]
+    outs = []
+    for f in fields:
+        fT = f.T
+        gs = [jnp.take(fT, cellsOnCell[:, i], axis=1) for i in range(M)]
+        D = []
+        for m in range(M):
+            acc = dirHess[:, m, 0][None, :] * fT
+            for i in range(M):
+                acc = acc + dirHess[:, m, 1 + i][None, :] * gs[i]
+            D.append(acc)
+        outs.append(D)
+    return outs
+
+
+def edge_slot_pair_col(slots, cellsOnEdge, slotOnCell):
+    """Column-form edge_slot_pair: `slots` is a list of M [K, C] arrays;
+    returns (tbl[c1, slot1], tbl[c2, slot2]) each [E, K] via two axis-1
+    gathers from the [K, M*C] concatenation (no [C*M, K] relayout)."""
+    C = slots[0].shape[1]
+    flat = jnp.concatenate(slots, axis=1)                 # [K, M*C]
+    i1 = slotOnCell[:, 0].astype(jnp.int32) * C + cellsOnEdge[:, 0]
+    i2 = slotOnCell[:, 1].astype(jnp.int32) * C + cellsOnEdge[:, 1]
+    return jnp.take(flat, i1, axis=1).T, jnp.take(flat, i2, axis=1).T
+
+
+def cell_tangential_col(tanWeights, g_slots):
+    """Column-form cell_tangential: g_slots = slot_gather(edgesOnCell, u);
+    returns list of M arrays [K, C]: t_i = sum_j tanW[:, i, j] * g_j."""
+    M = len(g_slots)
+    return [sum(tanWeights[:, i, j][None, :] * g_slots[j] for j in range(M))
+            for i in range(M)]
+
+
 def sum_edges_to_cell(f_e, edgesOnCell, weights):
     """sum_i weights[c, i] * f_e[edgesOnCell[c, i]] -> [C, K].
 
     `weights` [C, M] already folds in sign/mask/length factors."""
-    g = jnp.take(f_e, edgesOnCell, axis=0)      # [C, M, K]
-    return jnp.einsum("cm,cmk->ck", weights, g)
+    ((out,),) = slot_reduce(edgesOnCell, [(f_e, [weights])])
+    return out
+
+
+def zb_metric(flux_e, edgesOnCell, sign, zb_cell, zb3_cell):
+    """Sloping-coordinate metric transport (the zb/zb3 omega correction,
+    dynamics_tasks.rg:1503-1538, 1766-1887):
+        sum_m sign[c,m] * (zb[c,m,:] + sgn(F) * zb3[c,m,:]) * F[eoc[c,m], :]
+    Column-form: the per-slot gather of flux_e also feeds its own upwinding
+    sign, so no separate sign-field gather is needed."""
+    fT = flux_e.T
+    acc = None
+    for m in range(edgesOnCell.shape[1]):
+        g = jnp.take(fT, edgesOnCell[:, m], axis=1)          # [K+1, C]
+        zb = zb_cell[:, m, :].T + jnp.sign(g) * zb3_cell[:, m, :].T
+        t = sign[:, m][None, :] * zb * g
+        acc = t if acc is None else acc + t
+    return acc.T
 
 
 def sum_edges_to_vertex(f_e, edgesOnVertex, weights):
-    g = jnp.take(f_e, edgesOnVertex, axis=0)    # [V, D, K]
-    return jnp.einsum("vd,vdk->vk", weights, g)
+    ((out,),) = slot_reduce(edgesOnVertex, [(f_e, [weights])])
+    return out
 
 
 def sum_vertices_to_edge(f_v, verticesOnEdge):
@@ -99,17 +192,16 @@ def edges_on_edge_sum(f_e, edgesOnEdge, weightsOnEdge, mask):
     """Tangential reconstruction: sum_j w[e,j] * f_e[edgesOnEdge[e,j]]
     (Thuburn 2009 weights; dynamics_tasks.rg:430-439 with the reference's
     off-by-one loop start corrected to include all nEdgesOnEdge terms)."""
-    g = jnp.take(f_e, edgesOnEdge, axis=0)      # [E, W2, K]
-    return jnp.einsum("ew,ewk->ek", weightsOnEdge * mask, g)
+    ((out,),) = slot_reduce(edgesOnEdge, [(f_e, [weightsOnEdge * mask])])
+    return out
 
 
 def adv_flux_on_edge(q_c, flow_sign, adv_cells, adv_coefs, adv_coefs_3rd):
     """Horizontal 3rd/4th-order advective edge value:
     F[e, k] = sum_j (adv_coefs[e,j] + sign(flow[e,k]) * adv_coefs_3rd[e,j]) * q[advCells[e,j], k]
     `flow_sign` [E, K] is sign(ru) (+-1).  Padding slots carry zero coefs."""
-    qa = jnp.take(q_c, adv_cells, axis=0)       # [E, S, K]
-    base = jnp.einsum("es,esk->ek", adv_coefs, qa)
-    third = jnp.einsum("es,esk->ek", adv_coefs_3rd, qa)
+    ((base, third),) = slot_reduce(adv_cells,
+                                   [(q_c, [adv_coefs, adv_coefs_3rd])])
     return base + flow_sign * third
 
 
@@ -168,9 +260,9 @@ def cell_tangential(tanWeights, u_on_cell_edges):
 def adv_flux_on_edge_cellform(q, flow_sign, mesh, coef3):
     """Cell-form equivalent of adv_flux_on_edge: same 3rd/4th-order edge
     value via per-cell directional Hessians + slot gathers (exact algebraic
-    identity; see mesh/coefficients.compute_dir_hessian)."""
-    (D,) = dir_second_deriv(mesh.dirHess, mesh.cellsOnCell, q)
-    (D1, D2), = edge_slot_pairs(mesh.cellsOnEdge, mesh.slotOnCell, D)
+    identity; see mesh/coefficients.compute_dir_hessian), column-form."""
+    (Dc,) = dir_second_deriv_col(mesh.dirHess, mesh.cellsOnCell, q)
+    D1, D2 = edge_slot_pair_col(Dc, mesh.cellsOnEdge, mesh.slotOnCell)
     q1, q2 = edge_pair(q, mesh.cellsOnEdge)
     scale = (mesh.dvEdge * mesh.dcEdge ** 2 / 12.0)[:, None]
     return (0.5 * mesh.dvEdge[:, None] * (q1 + q2)

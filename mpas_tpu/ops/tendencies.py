@@ -65,11 +65,11 @@ class Tend:
 def _smagorinsky_kdiff(state, mesh, nl, invDt):
     """Horizontal Smagorinsky eddy viscosity (dynamics_tasks.rg:858-916);
     one packed [C, M] gather serves u and v."""
-    u_e, v_e = st.take_packed(mesh.edgesOnCell, state.u, state.v)  # [C, M, K]
-    d_diag = (jnp.einsum("cm,cmk->ck", mesh.defc_a, u_e)
-              - jnp.einsum("cm,cmk->ck", mesh.defc_b, v_e))
-    d_off = (jnp.einsum("cm,cmk->ck", mesh.defc_b, u_e)
-             + jnp.einsum("cm,cmk->ck", mesh.defc_a, v_e))
+    (ua, ub), (vb, va) = st.slot_reduce(
+        mesh.edgesOnCell, [(state.u, [mesh.defc_a, mesh.defc_b]),
+                           (state.v, [mesh.defc_b, mesh.defc_a])])
+    d_diag = ua - vb
+    d_off = ub + va
     c_s = nl.config_smagorinsky_coef
     ld = nl.config_len_disp
     kdiff = jnp.minimum((c_s * ld) ** 2 * jnp.sqrt(d_diag ** 2 + d_off ** 2),
@@ -130,11 +130,12 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     ru_edge_w = st.interface_interp(state.ru, fzm, fzp)                # [E, K+1]
     if cell_form:
         # cell-form: per-cell directional Hessians + flat slot gathers
-        # (identical arithmetic to adv_coefs . q, ~5x fewer gather rows)
-        D_t, D_w = st.dir_second_deriv(mesh.dirHess, mesh.cellsOnCell,
-                                       state.theta_m, state.w)
-        (D1t, D2t), (D1w, D2w) = st.edge_slot_pairs(
-            coe, mesh.slotOnCell, D_t, D_w)
+        # (identical arithmetic to adv_coefs . q, ~5x fewer gather rows),
+        # column-form (slot-wise axis-1 gathers, no [C*M, K] relayout)
+        Dc_t, Dc_w = st.dir_second_deriv_col(mesh.dirHess, mesh.cellsOnCell,
+                                             state.theta_m, state.w)
+        D1t, D2t = st.edge_slot_pair_col(Dc_t, coe, mesh.slotOnCell)
+        D1w, D2w = st.edge_slot_pair_col(Dc_w, coe, mesh.slotOnCell)
         adv_scale = (mesh.dvEdge * mesh.dcEdge ** 2 / 12.0)[:, None]   # [E, 1]
         c3 = nl.config_coef_3rd_order
         flux_arr_t = (0.5 * mesh.dvEdge[:, None] * (tm1 + tm2)
@@ -144,43 +145,39 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
                       - adv_scale * ((D1w + D2w)
                                      + jnp.sign(ru_edge_w) * c3 * (D1w - D2w)))
     else:
-        # stencil form: packed [E, S]-row advCellsForEdge gathers
-        qa_t, qa_w = st.take_packed(mesh.advCellsForEdge, state.theta_m, state.w)
-        flux_arr_t = (jnp.einsum("es,esk->ek", mesh.adv_coefs, qa_t)
-                      + jnp.sign(state.ru)
-                      * jnp.einsum("es,esk->ek", mesh.adv_coefs_3rd, qa_t))
-        flux_arr_w = (jnp.einsum("es,esk->ek", mesh.adv_coefs, qa_w)
-                      + jnp.sign(ru_edge_w)
-                      * jnp.einsum("es,esk->ek", mesh.adv_coefs_3rd, qa_w))
+        # stencil form: column-form advCellsForEdge slot reductions (narrow
+        # [K, C] tables gather at ~2 ns/index vs ~11 ns for the cell-form
+        # [K, M*C] slot-pair reads — see docs/PERF.md)
+        ((bt, tt), (bw, tw)) = st.slot_reduce(
+            mesh.advCellsForEdge,
+            [(state.theta_m, [mesh.adv_coefs, mesh.adv_coefs_3rd]),
+             (state.w, [mesh.adv_coefs, mesh.adv_coefs_3rd])])
+        flux_arr_t = bt + jnp.sign(state.ru) * tt
+        flux_arr_w = bw + jnp.sign(ru_edge_w) * tw
 
     # ---- perturbation theta flux needs theta_m_save edge values first ----
     if rk_step > 0:
         (ts1, ts2), = st.edge_pairs(coe, save.theta_m_save)
         pert = (save.ru_save - state.ru) * 0.5 * (ts1 + ts2)           # [E, K]
 
-    # ---- main edge->cell sums: one packed [C, M] gather; the cell-form
-    # Coriolis/tangential inputs (u, u*pv_edge) ride in the same pack ----
+    # ---- main edge->cell sums (column-form slot reductions); the
+    # cell-form Coriolis/tangential inputs (u, u*pv_edge) are slot-gathered
+    # with the same index ----
     flux_w_e = ru_edge_w * flux_arr_w                                  # [E, K+1]
     flux_t_e = state.ru * flux_arr_t                                   # [E, K]
-    pack = [state.ru, flux_w_e, flux_t_e]
-    if rk_step > 0 and "theta_pert_flux" not in _DEBUG_DISABLE:
-        pack.append(pert)
+    specs = [(state.ru, [sign_dv]), (flux_w_e, [sign_only]),
+             (flux_t_e, [sign_only])]
+    has_pert = rk_step > 0 and "theta_pert_flux" not in _DEBUG_DISABLE
+    if has_pert:
+        specs.append((pert, [sign_dv]))
+    red = st.slot_reduce(eoc, specs)
+    pert_sum = red[3][0] if has_pert else None
     if cell_form:
-        pack += [state.u, state.u * state.pv_edge]
-    gs = st.take_packed(eoc, *pack)
-    g_ru, g_fw, g_ft = gs[0], gs[1], gs[2]
-    ptr = 3
-    if rk_step > 0 and "theta_pert_flux" not in _DEBUG_DISABLE:
-        pert_sum = jnp.einsum("cm,cmk->ck", sign_dv, gs[ptr])
-        ptr += 1
-    else:
-        pert_sum = None
-    if cell_form:
-        g_u, g_upv = gs[ptr], gs[ptr + 1]
-    h_divergence = (jnp.einsum("cm,cmk->ck", sign_dv, g_ru)
-                    * mesh.invAreaCell[:, None])
-    tend_w = -jnp.einsum("cm,cmk->ck", sign_only, g_fw)                # [C, K+1]
-    tend_theta = -jnp.einsum("cm,cmk->ck", sign_only, g_ft)            # [C, K]
+        gu_slots = st.slot_gather(eoc, state.u)
+        gupv_slots = st.slot_gather(eoc, state.u * state.pv_edge)
+    h_divergence = red[0][0] * mesh.invAreaCell[:, None]
+    tend_w = -red[1][0]                                                # [C, K+1]
+    tend_theta = -red[2][0]                                            # [C, K]
     if pert_sum is not None:
         tend_theta = tend_theta - pert_sum
 
@@ -228,20 +225,22 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     #   q[e] = sum_w W[e,w] * u[eoe] * 0.5*(pv[e] + pv[eoe])
     if cell_form:
         # split as 0.5*pv[e]*(sum W u) + 0.5*(sum W u*pv): both sums come
-        # from the per-cell tangential matrices applied to the u / u*pv
-        # values already gathered in the main eoc pack, read back per edge
-        # by one packed flat slot gather
-        t_u = st.cell_tangential(mesh.tanWeights, g_u)          # [C, M, K]
-        t_upv = st.cell_tangential(mesh.tanWeights, g_upv)
-        (tu1, tu2), (tupv1, tupv2) = st.edge_slot_pairs(
-            coe, mesh.slotOnCell, t_u, t_upv)
+        # from the per-cell tangential matrices applied to the slot-gathered
+        # u / u*pv values, read back per edge by column-form slot gathers
+        t_u = st.cell_tangential_col(mesh.tanWeights, gu_slots)
+        t_upv = st.cell_tangential_col(mesh.tanWeights, gupv_slots)
+        tu1, tu2 = st.edge_slot_pair_col(t_u, coe, mesh.slotOnCell)
+        tupv1, tupv2 = st.edge_slot_pair_col(t_upv, coe, mesh.slotOnCell)
         q = 0.5 * state.pv_edge * (tu1 + tu2) + 0.5 * (tupv1 + tupv2)
     else:
-        # u and pv_edge share the edgesOnEdge index -> one packed gather
-        u_eoe, pv_eoe = st.take_packed(mesh.edgesOnEdge, state.u, state.pv_edge)
-        workpv = 0.5 * (state.pv_edge[:, None, :] + pv_eoe)
-        q = jnp.einsum("ew,ewk->ek",
-                       mesh.weightsOnEdge * mesh.edgesOnEdge_mask, u_eoe * workpv)
+        # u and u*pv share the edgesOnEdge slot gathers; the 0.5*(pv_e +
+        # pv_eoe) average splits into the two weighted sums (same algebraic
+        # split as the cell form)
+        W = mesh.weightsOnEdge * mesh.edgesOnEdge_mask
+        ((su,), (supv,)) = st.slot_reduce(
+            mesh.edgesOnEdge, [(state.u, [W]),
+                               (state.u * state.pv_edge, [W])])
+        q = 0.5 * state.pv_edge * su + 0.5 * supv
 
     if "q" in _DEBUG_DISABLE:
         q = q * 0.0
@@ -290,14 +289,12 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
         kd_e2 = 0.5 * (kd1 + kd2)
         theta_turb_k = theta_turb * kd_e2 * (prandtl_inv * mesh.meshScalingDel2[:, None])
 
-        g_wt, g_wtk, g_tt, g_ttk, g_du = st.take_packed(
-            eoc, w_turb, w_turb_k, theta_turb, theta_turb_k, delsq_u)
-        delsq_w = jnp.einsum("cm,cmk->ck", edge_sign_w, g_wt)
-        tend_w_euler = jnp.einsum("cm,cmk->ck", edge_sign_w, g_wtk)
-        delsq_theta = jnp.einsum("cm,cmk->ck", edge_sign_t, g_tt)
-        tend_theta_euler = jnp.einsum("cm,cmk->ck", edge_sign_t, g_ttk)
-        delsq_divergence = (jnp.einsum("cm,cmk->ck", sign_dv, g_du)
-                            * mesh.invAreaCell[:, None])
+        ((delsq_w,), (tend_w_euler,), (delsq_theta,), (tend_theta_euler,),
+         (du_sum,)) = st.slot_reduce(
+            eoc, [(w_turb, [edge_sign_w]), (w_turb_k, [edge_sign_w]),
+                  (theta_turb, [edge_sign_t]), (theta_turb_k, [edge_sign_t]),
+                  (delsq_u, [sign_dv])])
+        delsq_divergence = du_sum * mesh.invAreaCell[:, None]
 
         # del^4 = del^2(del^2); the u/w parts carry the h_mom factor and the
         # theta part the h_theta factor, so a zero coefficient contributes 0
@@ -322,10 +319,10 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
             edge_sign_t4 = (h_theta_eddy_visc4 * prandtl_inv
                             * mesh.invAreaCell[:, None] * sign_dv
                             * jnp.take(mesh.invDcEdge * mesh.meshScalingDel4, eoc))
-            g_ddw, g_ddt = st.take_packed(eoc, dw2 - dw1, dt2 - dt1)
-            tend_w_euler = tend_w_euler - jnp.einsum("cm,cmk->ck", edge_sign_w4, g_ddw)
-            tend_theta_euler = tend_theta_euler - jnp.einsum("cm,cmk->ck",
-                                                             edge_sign_t4, g_ddt)
+            ((ddw_sum,), (ddt_sum,)) = st.slot_reduce(
+                eoc, [(dw2 - dw1, [edge_sign_w4]), (dt2 - dt1, [edge_sign_t4])])
+            tend_w_euler = tend_w_euler - ddw_sum
+            tend_theta_euler = tend_theta_euler - ddt_sum
 
         # vertical 2nd-order mixing of u (perturbation form by default)
         if nl.config_v_mom_eddy_visc2 > 0.0:

@@ -209,18 +209,48 @@ def _build_exchange(l2g_list, owned_counts, owner_of, g2l, n_shards):
 def build_partition(mesh: Mesh, n_shards: int,
                     metis_path: str | None = None,
                     assignment: np.ndarray | None = None,
-                    rings: int = HALO_RINGS) -> ShardedPartition:
+                    rings: int = HALO_RINGS,
+                    use_native: str | bool = "auto") -> ShardedPartition:
+    """`use_native`: True / False / "auto" — the C++ halo-growth and
+    incident-entity kernels (native/mesh_preprocess.cpp) produce identical
+    output to the numpy path (tested) and are used automatically for large
+    meshes where the per-shard python loop dominates setup time."""
     if assignment is None:
         assignment = partition_cells(mesh, n_shards, metis_path)
     S = n_shards
 
+    from . import native as native_mod
+    if use_native == "auto":
+        use_native = mesh.nCells >= 100_000 and native_mod.available()
+    elif use_native:
+        use_native = native_mod.available()
+
     edge_owner = assignment[mesh.cellsOnEdge[:, 0]]
     vertex_owner = assignment[mesh.cellsOnVertex[:, 0]]
+
+    nEdgesOnCell = np.ascontiguousarray(mesh.nEdgesOnCell, dtype=np.int32)
+    assign32 = np.ascontiguousarray(assignment, dtype=np.int32)
 
     cell_lists, cell_own_counts = [], []
     edge_lists, edge_own_counts = [], []
     vert_lists, vert_own_counts = [], []
     for s in range(S):
+        if use_native:
+            cells, n_owned_c = native_mod.grow_rings(
+                mesh.cellsOnCell, nEdgesOnCell, assign32, s, rings)
+            cell_lists.append(cells.astype(np.int64))
+            cell_own_counts.append(n_owned_c)
+            edges, n_owned_e = native_mod.incident_entities(
+                mesh.edgesOnCell, nEdgesOnCell, cells, mesh.nEdges,
+                edge_owner.astype(np.int32), s)
+            edge_lists.append(edges)
+            edge_own_counts.append(n_owned_e)
+            verts, n_owned_v = native_mod.incident_entities(
+                mesh.verticesOnCell, nEdgesOnCell, cells, mesh.nVertices,
+                vertex_owner.astype(np.int32), s)
+            vert_lists.append(verts)
+            vert_own_counts.append(n_owned_v)
+            continue
         owned = np.where(assignment == s)[0].astype(np.int64)
         cells, in_local = _grow_rings(mesh, owned, rings)
         cell_lists.append(cells)

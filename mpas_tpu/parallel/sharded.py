@@ -25,6 +25,16 @@ from .halo import ExchangeArrays, HaloExchange, HaloTables
 from ..dynamics import srk3
 
 
+def _put_global(x, sharding):
+    """Place a host-replicated numpy array as a (possibly multi-host) global
+    jax.Array with the given sharding."""
+    x = np.asarray(x)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+    return jax.device_put(jnp.asarray(x), sharding)
+
+
 # field -> (entity of its first axis, remap target for index arrays or None)
 _MESH_FIELDS = {
     "cellsOnEdge": ("edge", "cell"), "verticesOnEdge": ("edge", "vertex"),
@@ -116,7 +126,13 @@ class ShardedModel:
             self.radiation_fn = make_sharded_radiation(self, phys)
 
     def gather_state(self, model_mesh) -> dict:
-        """Collect owned entries back into global arrays (host-side)."""
+        """Collect owned entries back into global arrays (host-side).
+        Single-process only; in multi-host runs each process verifies its
+        addressable shards instead (tools/multihost_demo.py)."""
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "gather_state needs fully-addressable arrays; use per-process "
+                "shard checks in multi-host runs")
         p = self.partition
         out = {}
         C, E, V = model_mesh.nCells, model_mesh.nEdges, model_mesh.nVertices
@@ -201,18 +217,33 @@ def shard_model(model, n_shards: int, metis_path: str | None = None,
     jmesh = JaxMesh(np.array(devices), ("dom",))
     sh = NamedSharding(jmesh, P("dom"))
     rep = NamedSharding(jmesh, P())
+    multihost = jax.process_count() > 1
 
     def put(x, float_ok=True):
         x = np.asarray(x)
         if x.dtype in (np.float64, np.float32):
             x = x.astype(dtype)
+        if multihost:
+            # every process holds the same full host-side array (the mesh
+            # preprocessing is deterministic and replicated); each provides
+            # the blocks belonging to its addressable devices
+            # (Parallelization in Regent.md:150-173 — the Legion multi-node
+            # distribution slot)
+            return jax.make_array_from_callback(x.shape, sh,
+                                                lambda idx: x[idx])
         return jax.device_put(jnp.asarray(x), sh)
 
     marr = core_state.MeshArrays(**{k: put(v) for k, v in marr_np.items()})
     static = core_state.StaticState(**{k: put(v) for k, v in static_np.items()})
     state = core_state.State(**{k: (None if v is None else put(v))
                                 for k, v in state_np.items()})
-    vert = jax.tree.map(lambda x: jax.device_put(x, rep), model.vert)
+    if multihost:
+        vert = jax.tree.map(
+            lambda x: jax.make_array_from_callback(
+                np.shape(x), rep, lambda idx, _x=x: np.asarray(_x)[idx]),
+            model.vert)
+    else:
+        vert = jax.tree.map(lambda x: jax.device_put(x, rep), model.vert)
 
     def make_rounds(xt):
         """Device-side neighbor-only ppermute schedule (halo.ExchangeRound)."""
@@ -258,9 +289,12 @@ def make_sharded_step(sm: ShardedModel, dt: float):
         in_specs=(P("dom"), P("dom"), P(), P("dom"), P("dom")),
         out_specs=P("dom"))
 
-    @jax.jit
+    # static operands are jit ARGUMENTS, not closures: multi-host arrays
+    # spanning non-addressable devices cannot be closed over
+    step_jit = jax.jit(mapped)
+
     def step(state):
-        return mapped(sm.mesh_arrays, sm.static, sm.vert, sm.tables, state)
+        return step_jit(sm.mesh_arrays, sm.static, sm.vert, sm.tables, state)
 
     return step
 
@@ -273,13 +307,11 @@ def make_sharded_radiation(sm: ShardedModel, phys):
     from ..physics.driver import _device_tables, radiation_columns
     dtype = sm.state.theta_m.dtype
     rep = NamedSharding(sm.jax_mesh, P())
-    phys_j = {k: (jax.device_put(jnp.asarray(v), rep) if hasattr(v, "shape")
-                  else v)
+    phys_j = {k: (_put_global(v, rep) if hasattr(v, "shape") else v)
               for k, v in _device_tables(phys, dtype).items()}
-    vert = sm.vert
     sq = lambda t: jax.tree.map(lambda x: x[0], t)
 
-    def local(marr, static, state, phys_d, tp):
+    def local(marr, static, vert, state, phys_d, tp):
         m, st, sta = sq(marr), sq(state), sq(static)
         pressure = sta.pressure_base + st.pressure_p
         sp = (vert.cf1 * pressure[:, 0] + vert.cf2 * pressure[:, 1]
@@ -293,12 +325,14 @@ def make_sharded_radiation(sm: ShardedModel, phys):
         return rthraten[None]
 
     mapped = jax.shard_map(local, mesh=sm.jax_mesh,
-                           in_specs=(P("dom"), P("dom"), P("dom"), P(), P()),
+                           in_specs=(P("dom"), P("dom"), P(), P("dom"), P(),
+                                     P()),
                            out_specs=P("dom"))
+    radiation_jit = jax.jit(mapped)
 
-    @jax.jit
     def radiation(state, tp):
-        return mapped(sm.mesh_arrays, sm.static, state, phys_j, tp)
+        return radiation_jit(sm.mesh_arrays, sm.static, sm.vert, state,
+                             phys_j, tp)
 
     return radiation
 
@@ -311,8 +345,8 @@ def make_sharded_summarize(sm: ShardedModel):
     dtype = sm.state.theta_m.dtype
     p = sm.partition
     sh = NamedSharding(sm.jax_mesh, P("dom"))
-    cm = jax.device_put(jnp.asarray(np.asarray(p.cell_owned_mask) > 0), sh)
-    em = jax.device_put(jnp.asarray(np.asarray(p.edge_owned_mask) > 0), sh)
+    cm = _put_global(np.asarray(p.cell_owned_mask) > 0, sh)
+    em = _put_global(np.asarray(p.edge_owned_mask) > 0, sh)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
     def local(cm_, em_, state):
@@ -339,10 +373,10 @@ def make_sharded_summarize(sm: ShardedModel):
     mapped = jax.shard_map(local, mesh=sm.jax_mesh,
                            in_specs=(P("dom"), P("dom"), P("dom")),
                            out_specs=P())
+    summarize_jit = jax.jit(mapped)
 
-    @jax.jit
     def summarize(state):
-        return mapped(cm, em, state)
+        return summarize_jit(cm, em, state)
 
     return summarize
 

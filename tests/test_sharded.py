@@ -191,3 +191,18 @@ def test_sharded_history_write(model, tmp_path):
     d2 = read_netcdf(p2)
     for name in ("u", "w", "theta", "surface_pressure"):
         np.testing.assert_allclose(d1[name], d2[name], rtol=1e-12)
+
+
+def test_native_partition_matches_numpy(mesh):
+    """The C++ grow_rings/incident_entities kernels produce identical
+    partitions to the numpy path (VERDICT item 8: native kernels wired into
+    build_partition for production meshes)."""
+    from mpas_tpu.parallel import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    a = P.build_partition(mesh, 8, use_native=False)
+    b = P.build_partition(mesh, 8, use_native=True)
+    for name in ("cell_l2g", "cell_mask", "cell_owned_mask",
+                 "edge_l2g", "edge_owned_mask",
+                 "vertex_l2g", "vertex_owned_mask"):
+        np.testing.assert_array_equal(getattr(a, name), getattr(b, name), name)
