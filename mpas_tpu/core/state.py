@@ -65,6 +65,10 @@ class MeshArrays:
     invAreaTriangle: Any      # [V]
     meshScalingDel2: Any      # [E]
     meshScalingDel4: Any      # [E]
+    meshScalingRegionalCell: Any  # [C] relaxation-zone diffusion scaling
+    meshScalingRegionalEdge: Any  # [E]
+    bdyMaskCell: Any          # [C] int32: 0 interior, 1..n relax, n+1 specified
+    bdyMaskEdge: Any          # [E] int32
 
     # advection stencil (atm_adv_coef_compression)
     advCellsForEdge: Any      # [E, S]
@@ -228,7 +232,12 @@ def mesh_arrays_from_mesh(mesh: Mesh, namelist, dtype=jnp.float32,
     slotOnCell = mcoef.compute_edge_slots(mesh)
     coeffs_reconstruct = mcoef.compute_reconstruct_coefficients(mesh)
     defc_a, defc_b = mcoef.compute_deformation_weights(mesh)
-    ms2, ms4 = mcoef.compute_mesh_scaling(mesh, namelist.config_h_ScaleWithMesh)
+    ms2, ms4, msrc, msre = mcoef.compute_mesh_scaling(
+        mesh, namelist.config_h_ScaleWithMesh)
+    bdy_c = np.asarray(getattr(mesh, "bdyMaskCell", np.zeros(mesh.nCells)),
+                       dtype=np.int32)
+    bdy_e = np.asarray(getattr(mesh, "bdyMaskEdge", np.zeros(mesh.nEdges)),
+                       dtype=np.int32)
 
     # rotated Coriolis parameter, alpha_grid = 0 (init_atm_cases.rg:595-601)
     from .. import constants
@@ -256,6 +265,8 @@ def mesh_arrays_from_mesh(mesh: Mesh, namelist, dtype=jnp.float32,
         areaCell=f(mesh.areaCell), invAreaCell=f(mesh.invAreaCell),
         invAreaTriangle=f(mesh.invAreaTriangle),
         meshScalingDel2=f(ms2), meshScalingDel4=f(ms4),
+        meshScalingRegionalCell=f(msrc), meshScalingRegionalEdge=f(msre),
+        bdyMaskCell=i(bdy_c), bdyMaskEdge=i(bdy_e),
         advCellsForEdge=i(adv.advCellsForEdge), advMaskForEdge=f(adv.advMaskForEdge),
         adv_coefs=f(adv.adv_coefs), adv_coefs_3rd=f(adv.adv_coefs_3rd),
         dirHess=f(dirHess), tanWeights=f(tanWeights), slotOnCell=i(slotOnCell),

@@ -95,7 +95,8 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
 
             tend = tend_ops.compute_dyn_tend(state, save, static, mesh, vert,
                                              nl, rk_step, dt, prev=tend)
-            tend = rk_ops.set_smlstep_pert_variables(tend, static, mesh, vert)
+            tend = rk_ops.set_smlstep_pert_variables(tend, static, mesh, vert,
+                                                     nl=nl)
 
             # ---- acoustic substeps ----
             ns = number_sub_steps[rk_step]

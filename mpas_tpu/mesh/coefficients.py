@@ -382,11 +382,41 @@ def compute_deformation_weights(mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 def compute_mesh_scaling(mesh: Mesh, scale_with_mesh: bool = False):
-    """meshScalingDel2/Del4 [E] (atm_compute_mesh_scaling,
-    dynamics_tasks.rg:595-646)."""
-    E = mesh.nEdges
+    """meshScalingDel2/Del4 [E] plus the regional relaxation-zone scalings
+    meshScalingRegionalCell [C] / meshScalingRegionalEdge [E]
+    (atm_compute_mesh_scaling, dynamics_tasks.rg:595-646)."""
+    E, C = mesh.nEdges, mesh.nCells
     if not scale_with_mesh:
-        return np.ones(E), np.ones(E)
+        return np.ones(E), np.ones(E), np.ones(C), np.ones(E)
     md = 0.5 * (mesh.meshDensity[mesh.cellsOnEdge[:, 0]] +
                 mesh.meshDensity[mesh.cellsOnEdge[:, 1]])
-    return md ** -0.25, md ** -0.75
+    return (md ** -0.25, md ** -0.75,
+            mesh.meshDensity ** -0.25, md ** -0.25)
+
+
+def mark_regional_zones(mesh: Mesh, interior: np.ndarray, n_relax: int = 5):
+    """Stamp bdyMaskCell/bdyMaskEdge for a regional configuration
+    (dynamics_tasks.rg:1503-1538 consumes bdyMaskCell; MPAS convention:
+    0 = interior, 1..n_relax = relaxation rings counted outward from the
+    interior, n_relax+1 = specified (LBC-driven) zone).
+
+    `interior` is a bool[C] selecting the cells of the free-running domain;
+    everything else starts as specified, then the n_relax rings of
+    specified cells adjacent to the interior are converted to relaxation
+    rings (ring 1 touches the interior)."""
+    C = mesh.nCells
+    bdy = np.full(C, n_relax + 1, dtype=np.int32)
+    bdy[interior] = 0
+    frontier = interior.copy()
+    for ring in range(1, n_relax + 1):
+        nbrs = mesh.cellsOnCell[frontier]
+        valid = mesh.edgesOnCell_mask[frontier] > 0
+        cand = np.unique(nbrs[valid])
+        new = cand[bdy[cand] == n_relax + 1]
+        bdy[new] = ring
+        frontier = np.zeros(C, dtype=bool)
+        frontier[new] = True
+    mesh.bdyMaskCell = bdy
+    mesh.bdyMaskEdge = np.maximum(bdy[mesh.cellsOnEdge[:, 0]],
+                                  bdy[mesh.cellsOnEdge[:, 1]]).astype(np.int32)
+    return mesh

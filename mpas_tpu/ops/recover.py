@@ -69,11 +69,13 @@ def compute_moist_coefficients(state, mesh):
     return state.replace(qtot=qtot, cqw=cqw, cqu=cqu)
 
 
-def set_smlstep_pert_variables(tend, static, mesh, vert):
+def set_smlstep_pert_variables(tend, static, mesh, vert, nl=None):
     """Convert the large-step w tendency to the coupled (rho*omega-like)
     perturbation form used by the acoustic solver (dynamics_tasks.rg:1503-1538):
     subtract the sloping-coordinate metric transport implied by tend_u, then
-    couple with zz at interfaces."""
+    couple with zz at interfaces.  Regional runs gate the conversion to
+    cells with bdyMaskCell <= nRelaxZone, exactly like the reference's
+    per-cell branch (:1517)."""
     C, Kp1 = tend.tend_w.shape
     flux_e = st.interface_interp(tend.tend_u, vert.fzm, vert.fzp)    # [E, K+1]
     metric = st.zb_metric(flux_e, mesh.edgesOnCell, mesh.edgesOnCellSign,
@@ -81,6 +83,9 @@ def set_smlstep_pert_variables(tend, static, mesh, vert):
     zz_i = st.interface_interp(static.zz, vert.fzm, vert.fzp)
     tend_w = (tend.tend_w - metric) * zz_i
     tend_w = tend_w.at[:, 0].set(0.0).at[:, Kp1 - 1].set(0.0)
+    if nl is not None and nl.config_apply_lbcs:
+        upd = (mesh.bdyMaskCell <= nl.nRelaxZone)[:, None]
+        tend_w = jnp.where(upd, tend_w, tend.tend_w)
     return tend.replace(tend_w=tend_w)
 
 
@@ -138,6 +143,24 @@ def recover_large_step_variables(state, ac, ruAvg, wwAvg, save, static, mesh,
     w = w.at[:, 0].set(w[:, 0] / rho_sfc)
     w = w.at[:, 1:K].set(w[:, 1:K] / rho_i[:, 1:K])
     w = w.at[:, K].set(0.0)
+
+    if nl.config_apply_lbcs:
+        # specified (LBC) zone: prognostics are held, not integrated — the
+        # lateral-boundary reader replaces them between steps (the bdyMask
+        # scaffolding of dynamics_tasks.rg:1503-1538; MPAS regional zones)
+        spec_c = (mesh.bdyMaskCell > nl.nRelaxZone)[:, None]
+        spec_e = (mesh.bdyMaskEdge > nl.nRelaxZone)[:, None]
+        hold = lambda new, old, m: jnp.where(m, old, new)
+        u = hold(u, state.u, spec_e)
+        ru = hold(ru, state.ru, spec_e)
+        w = hold(w, state.w, spec_c)
+        rw = hold(rw, state.rw, spec_c)
+        theta_m = hold(theta_m, state.theta_m, spec_c)
+        rho_zz = hold(rho_zz, state.rho_zz, spec_c)
+        rho_p = hold(rho_p, state.rho_p, spec_c)
+        rtheta_p = hold(rtheta_p, state.rtheta_p, spec_c)
+        exner = hold(exner, state.exner, spec_c)
+        pressure_p = hold(pressure_p, state.pressure_p, spec_c)
 
     state = state.replace(
         u=u, w=w, theta_m=theta_m, rho_zz=rho_zz, ru=ru, rw=rw,

@@ -53,6 +53,9 @@ _MESH_FIELDS = {
     "invDcEdge": ("edge", None), "areaCell": ("cell", None),
     "invAreaCell": ("cell", None), "invAreaTriangle": ("vertex", None),
     "meshScalingDel2": ("edge", None), "meshScalingDel4": ("edge", None),
+    "meshScalingRegionalCell": ("cell", None),
+    "meshScalingRegionalEdge": ("edge", None),
+    "bdyMaskCell": ("cell", None), "bdyMaskEdge": ("edge", None),
     "advCellsForEdge": ("edge", "cell"), "advMaskForEdge": ("edge", None),
     "adv_coefs": ("edge", None), "adv_coefs_3rd": ("edge", None),
     "dirHess": ("cell", None), "tanWeights": ("cell", None),
