@@ -46,6 +46,12 @@ def main(argv=None):
     ap.add_argument("--no-perturbation", action="store_true")
     ap.add_argument("--output", default="timestep_output.nc")
     ap.add_argument("--output-full-3d", action="store_true")
+    ap.add_argument("--history-every", type=int, default=0,
+                    help="record a history snapshot every N steps (the "
+                         "output becomes a multi-time-level file)")
+    ap.add_argument("--log-every", type=int, default=1,
+                    help="steps between summarize/NaN-check fetches (each "
+                         "fetch is a device->host sync; raise on slow links)")
     ap.add_argument("--shards", type=int, default=0,
                     help="domain-decompose over N devices (0 = single device)")
     ap.add_argument("--metis", default=None, help="METIS partition file")
@@ -135,6 +141,21 @@ def main(argv=None):
         if sharded:
             runner.enable_physics(phys)
 
+    hist = None
+    if args.output and args.history_every:
+        from .io.history import HistoryWriter
+        hist = HistoryWriter(model, full_3d=args.output_full_3d)
+
+    def record_history():
+        if hist is None:
+            return
+        if sharded:
+            from .io.history import gathered_state
+            hist.record(state=gathered_state(runner, model),
+                        time_value=float(runner.step_count))
+        else:
+            hist.record()
+
     n_steps = nl.config_run_duration_steps
     t0 = time.time()
     for step in range(n_steps):
@@ -149,18 +170,23 @@ def main(argv=None):
                     f"qr range=[{(pd['qrl'].min()*86400):.1f},"
                     f"{(pd['qrs'].max()*86400):.1f}] K/day")
         runner.step(1)
-        if sharded:
-            from .parallel.sharded import sharded_summarize
-            s = sharded_summarize(runner)
-        else:
-            s = model.summarize()
-        log(f"step {runner.step_count}: "
-            f"w=[{s['w_min']:+.3e},{s['w_max']:+.3e}] "
-            f"u=[{s['u_min']:+.2f},{s['u_max']:+.2f}]"
-            + (" *** NaN detected ***" if s["nan_detected"] else ""))
-        if s["nan_detected"]:
-            log("aborting: NaN in prognostic fields")
-            return 1
+        # summarize forces a device->host sync (a full RTT on tunneled
+        # backends): fetch only every --log-every steps
+        if (step + 1) % max(args.log_every, 1) == 0 or step + 1 == n_steps:
+            if sharded:
+                from .parallel.sharded import sharded_summarize
+                s = sharded_summarize(runner)
+            else:
+                s = model.summarize()
+            log(f"step {runner.step_count}: "
+                f"w=[{s['w_min']:+.3e},{s['w_max']:+.3e}] "
+                f"u=[{s['u_min']:+.2f},{s['u_max']:+.2f}]"
+                + (" *** NaN detected ***" if s["nan_detected"] else ""))
+            if s["nan_detected"]:
+                log("aborting: NaN in prognostic fields")
+                return 1
+        if args.history_every and (step + 1) % args.history_every == 0:
+            record_history()
         if args.checkpoint_every and (step + 1) % args.checkpoint_every == 0:
             save_restart(args.checkpoint_path, runner)
             log(f"checkpoint -> {args.checkpoint_path}")
@@ -169,7 +195,9 @@ def main(argv=None):
         f"({elapsed / max(n_steps, 1) * 1000:.1f} ms/step)")
 
     if args.output:
-        if sharded:
+        if hist is not None:
+            hist.write(args.output)
+        elif sharded:
             from .io.history import gathered_state
             write_history(args.output, model, state=gathered_state(runner, model),
                           full_3d=args.output_full_3d)

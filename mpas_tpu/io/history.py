@@ -22,34 +22,51 @@ from ..ops import diagnostics as diag_ops
 PLOT_LEVEL = 0
 
 
-def write_history(path: str, model, state=None, full_3d: bool = False):
-    """Write a timestep_output.nc-style history file.
-
-    With full_3d=False matches the reference writer's level-0 2-D slices; with
-    full_3d=True writes complete [nCells, nVertLevels] fields."""
-    m = model.mesh
-    state = state if state is not None else model.state
+def _snapshot_fields(model, state, full_3d: bool):
+    """One time level of history fields (host numpy dict)."""
     out = diag_ops.output_diagnostics(state, model.static)
-    rho = np.asarray(out["rho"])
-    theta = np.asarray(out["theta"])
     pressure = np.asarray(out["pressure"])
-    pressure_p = np.asarray(state.pressure_p)
-    u = np.asarray(state.u)
-    v = np.asarray(state.v)
-    w = np.asarray(state.w)
-    # surface pressure: extrapolate with cf weights
     vg = model.vgrid
     sp = (vg.cf1 * pressure[:, 0] + vg.cf2 * pressure[:, 1]
           + vg.cf3 * pressure[:, 2])
+    K = pressure.shape[1]
+    sl = (lambda a: a) if full_3d else (lambda a: a[:, PLOT_LEVEL:PLOT_LEVEL + 1])
+    return {
+        "u": sl(np.asarray(state.u)), "v": sl(np.asarray(state.v)),
+        "w": sl(np.asarray(state.w)[:, :K]),
+        "rho": sl(np.asarray(out["rho"])),
+        "theta": sl(np.asarray(out["theta"])),
+        "pressure": sl(pressure),
+        "pressure_p": sl(np.asarray(state.pressure_p)),
+        "surface_pressure": sp,
+    }
 
-    K = theta.shape[1]
+
+_STATE_DIM = {"u": "nEdges", "v": "nEdges"}
+
+
+def write_history(path: str, model, state=None, full_3d: bool = False,
+                  snapshots=None):
+    """Write a timestep_output.nc-style history file.
+
+    With full_3d=False matches the reference writer's level-0 2-D slices;
+    with full_3d=True writes complete [nCells, nVertLevels] fields.
+    `snapshots`: optional list of (time_value, fields-dict from
+    `_snapshot_fields`) — a multi-time-level history (HistoryWriter);
+    default is one snapshot of the given/current state."""
+    m = model.mesh
+    if snapshots is None:
+        state = state if state is not None else model.state
+        snapshots = [(float(getattr(model, "step_count", 0)),
+                      _snapshot_fields(model, state, full_3d))]
+    T = len(snapshots)
+    K = model.state.theta_m.shape[1]
     dims = {
-        "Time": 1, "nCells": m.nCells, "nEdges": m.nEdges,
+        "Time": T, "nCells": m.nCells, "nEdges": m.nEdges,
         "nVertices": m.nVertices, "maxEdges": m.maxEdges,
         "vertexDegree": m.vertexDegree, "nVertLevels": K,
         "nVertLevelsP1": K + 1,
     }
-    sl = (lambda a: a) if full_3d else (lambda a: a[:, PLOT_LEVEL:PLOT_LEVEL + 1])
     kdim = ("nVertLevels",) if full_3d else ("one",)
     if not full_3d:
         dims["one"] = 1
@@ -64,19 +81,38 @@ def write_history(path: str, model, state=None, full_3d: bool = False):
         "verticesOnCell": (("nCells", "maxEdges"),
                            (m.verticesOnCell + 1).astype(np.int32)),
         "areaCell": (("nCells",), m.areaCell),
-        # state
-        "u": (("nEdges",) + kdim, sl(u)),
-        "v": (("nEdges",) + kdim, sl(v)),
-        "w": (("nCells",) + kdim, sl(w[:, :K])),
-        "rho": (("nCells",) + kdim, sl(rho)),
-        "theta": (("nCells",) + kdim, sl(theta)),
-        "pressure": (("nCells",) + kdim, sl(pressure)),
-        "pressure_p": (("nCells",) + kdim, sl(pressure_p)),
-        "surface_pressure": (("nCells",), sp),
+        "xtime": (("Time",), np.array([t for t, _ in snapshots])),
     }
+    for name in snapshots[0][1]:
+        stacked = np.stack([f[name] for _, f in snapshots])   # [T, ...]
+        d0 = _STATE_DIM.get(name, "nCells")
+        dnames = ("Time", d0) + (() if stacked.ndim == 2 else kdim)
+        variables[name] = (dnames, stacked)
     write_netcdf(path, dims, variables,
                  attrs={"on_a_sphere": b"YES", "sphere_radius": m.sphere_radius})
     return path
+
+
+class HistoryWriter:
+    """Accumulates per-interval snapshots during a run and writes one
+    multi-time-level history file — the time-series capability the
+    reference's single-snapshot write_output_plotting lacks."""
+
+    def __init__(self, model, full_3d: bool = False):
+        self.model = model
+        self.full_3d = full_3d
+        self.snapshots = []
+
+    def record(self, state=None, time_value=None):
+        state = state if state is not None else self.model.state
+        t = (time_value if time_value is not None
+             else float(getattr(self.model, "step_count", len(self.snapshots))))
+        self.snapshots.append(
+            (t, _snapshot_fields(self.model, state, self.full_3d)))
+
+    def write(self, path: str):
+        return write_history(path, self.model, full_3d=self.full_3d,
+                             snapshots=self.snapshots)
 
 
 def save_restart(path: str, model):

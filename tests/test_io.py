@@ -50,3 +50,28 @@ def test_restart_exact_resume(tmp_path, model):
     np.testing.assert_array_equal(np.asarray(ref.u), np.asarray(again.u))
     np.testing.assert_array_equal(np.asarray(ref.theta_m), np.asarray(again.theta_m))
     model.state = s0
+
+
+def test_time_series_history(model, tmp_path):
+    """HistoryWriter accumulates snapshots into one multi-time-level file
+    (the time-series capability the reference's single-snapshot
+    write_output_plotting lacks)."""
+    import copy
+    from mpas_tpu.io.history import HistoryWriter
+    from mpas_tpu.mesh.netcdf_io import read_netcdf
+    m = copy.copy(model)
+    hw = HistoryWriter(m)
+    hw.record(time_value=0.0)
+    S = m.state
+    for i in range(2):
+        S = m.step_fn(S)
+        hw.record(state=S, time_value=float(i + 1))
+    path = str(tmp_path / "series.nc")
+    hw.write(path)
+    d = read_netcdf(path)
+    assert d["_dims"]["Time"] == 3
+    assert d["u"].shape[0] == 3
+    np.testing.assert_array_equal(d["xtime"], [0.0, 1.0, 2.0])
+    # the state actually evolved between records
+    assert np.abs(d["u"][2] - d["u"][0]).max() > 0.0
+    assert np.isfinite(d["surface_pressure"]).all()
