@@ -222,8 +222,12 @@ def build_partition(mesh: Mesh, n_shards: int,
     from . import native as native_mod
     if use_native == "auto":
         use_native = mesh.nCells >= 100_000 and native_mod.available()
-    elif use_native:
-        use_native = native_mod.available()
+    elif use_native and not native_mod.available():
+        import warnings
+        warnings.warn("build_partition(use_native=True) requested but the "
+                      "native library is unavailable; using the numpy path "
+                      "(identical output, slower setup)", RuntimeWarning)
+        use_native = False
 
     edge_owner = assignment[mesh.cellsOnEdge[:, 0]]
     vertex_owner = assignment[mesh.cellsOnVertex[:, 0]]
@@ -243,12 +247,12 @@ def build_partition(mesh: Mesh, n_shards: int,
             edges, n_owned_e = native_mod.incident_entities(
                 mesh.edgesOnCell, nEdgesOnCell, cells, mesh.nEdges,
                 edge_owner.astype(np.int32), s)
-            edge_lists.append(edges)
+            edge_lists.append(edges.astype(np.int64))
             edge_own_counts.append(n_owned_e)
             verts, n_owned_v = native_mod.incident_entities(
                 mesh.verticesOnCell, nEdgesOnCell, cells, mesh.nVertices,
                 vertex_owner.astype(np.int32), s)
-            vert_lists.append(verts)
+            vert_lists.append(verts.astype(np.int64))
             vert_own_counts.append(n_owned_v)
             continue
         owned = np.where(assignment == s)[0].astype(np.int64)

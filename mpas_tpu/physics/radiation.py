@@ -30,7 +30,8 @@ clear-sky LBL benchmarks on McClatchey standard atmospheres
   (~280), DLR 345.2 (~345); subarctic-winter OLR 200.6 (~200), DLR 162.8
   (~163) W/m^2; tropical tropospheric cooling 1.9 K/day (~2); 2xCO2
   instantaneous clear-sky forcing -3.98 W/m^2 (LBL ~-4).
-Clouds enter through the cldems emissivity with maximum-random overlap.
+Clouds enter through the cldems emissivity: SW uses maximum-random overlap
+(cldovrlap); LW applies eps = emis*cldfra per layer (random overlap).
 """
 
 from __future__ import annotations
@@ -299,8 +300,9 @@ def lw_fluxes(t, q, o3mmr, pmid, pint, cld_emis, cldfra, tsfc, emiss=1.0):
     B = sb * t ** 4
     B_sfc = sb * tsfc ** 4
 
-    # effective per-layer cloud emissivity with max-random scene scaling
-    tot_above, c_tot = cldovrlap(cldfra)
+    # effective per-layer cloud emissivity; LW uses per-layer random
+    # overlap (eps = emis * cldfra applied independently per layer) —
+    # max-random overlap (cldovrlap) is used only on the SW side
     eps_c = jnp.clip(cld_emis * cldfra, 0.0, 0.999)
 
     terms = (

@@ -102,17 +102,21 @@ def vert_interpolate(Match_ps, aerosolc, m_hybi, pint):
     (ra_cam_radctl_support.rg:353-532), vectorized.
 
     Match_ps [cols]; aerosolc [cols, paerlev+1, naer] cumulative column mass
-    above each data interface; m_hybi [paerlev+1]; pint [cols, pver+1]."""
+    below each data interface (aerosolc[0] = column total at the data top,
+    aerosolc[-1] = 0 at the data surface); m_hybi [paerlev+1] ascending
+    top->surface; pint [cols, pver+1] model interfaces **bottom-up**
+    (index 0 = surface).  AER[:, k] = mass below model interface k, so it
+    increases with k and layer mass = AER[:, k+1] - AER[:, k]."""
     cols, pverp = pint.shape
     pver = pverp - 1
     naer = aerosolc.shape[2]
     paerlev = m_hybi.shape[0] - 1
 
-    # cumulative aerosol mass at model interfaces
+    # cumulative aerosol mass (below) at model interfaces, bottom-up
     AER = np.zeros((cols, pverp, naer))
-    AER[:, 0] = aerosolc[:, 0]
+    AER[:, 0] = aerosolc[:, -1]                            # surface: 0 below
     v = m_hybi[None, :] * Match_ps[:, None]                # [cols, paerlev+1]
-    for k in range(1, pver):
+    for k in range(1, pverp):
         x = pint[:, k]
         ku = np.clip((v < x[:, None]).sum(axis=1) - 1, 0, paerlev - 1)
         dpu = x - np.take_along_axis(v, ku[:, None], 1)[:, 0]
@@ -123,15 +127,14 @@ def vert_interpolate(Match_ps, aerosolc, m_hybi, pint):
         above = x < v[:, 0]
         below = x > v[:, -1]
         AER[:, k] = np.where(above[:, None], aerosolc[:, 0],
-                             np.where(below[:, None], 0.0, interp))
-    AER[:, pver:] = 0.0
+                             np.where(below[:, None], aerosolc[:, -1], interp))
     AER[AER < 1e-40] = 0.0
 
-    diff = AER[:, :-1] - AER[:, 1:]                         # [cols, pver, naer]
-    small = np.abs(diff) < 1e-15 * AER[:, 0:1]
+    diff = AER[:, 1:] - AER[:, :-1]                         # [cols, pver, naer]
+    small = np.abs(diff) < 1e-15 * AER[:, -1:]
     diff = np.where(small, 0.0, diff)
-    m_to_mmr = constants.gravity / (pint[:, 1:] - pint[:, :-1])
-    return diff * m_to_mmr[:, :, None]
+    m_to_mmr = constants.gravity / (pint[:, :-1] - pint[:, 1:])
+    return np.maximum(diff, 0.0) * m_to_mmr[:, :, None]
 
 
 def radconst(julian: float):
@@ -158,17 +161,21 @@ def radconst(julian: float):
 def vert_interpolate_j(Match_ps, aerosolc, m_hybi, pint):
     """jnp vert_interpolate (ra_cam_radctl_support.rg:353-532): cumulative
     aerosol column mass on hybrid data interfaces -> model-level mass mixing
-    ratios.  aerosolc [paerlev+1, naer] (column-independent climatology),
-    m_hybi [paerlev+1], pint [cols, pver+1], Match_ps [cols]."""
+    ratios.  aerosolc [paerlev+1, naer] (column-independent climatology;
+    mass below each data interface — aerosolc[0] = column total at the data
+    top, aerosolc[-1] = 0 at the data surface), m_hybi [paerlev+1], pint
+    [cols, pver+1] model interfaces **bottom-up** (index 0 = surface),
+    Match_ps [cols].  AER[:, k] = mass below model interface k, increasing
+    with k; layer mass = AER[:, k+1] - AER[:, k]."""
     import jax.numpy as jnp
     pverp = pint.shape[1]
     pver = pverp - 1
     paerlev = m_hybi.shape[0] - 1
 
     v = m_hybi[None, :] * Match_ps[:, None]               # [cols, paerlev+1]
-    levels = [jnp.broadcast_to(aerosolc[0][None, :],
+    levels = [jnp.broadcast_to(aerosolc[-1][None, :],     # surface: 0 below
                                (pint.shape[0], aerosolc.shape[1]))]
-    for k in range(1, pver):
+    for k in range(1, pverp):
         x = pint[:, k]
         ku = jnp.clip((v < x[:, None]).sum(axis=1) - 1, 0, paerlev - 1)
         vu = jnp.take_along_axis(v, ku[:, None], 1)[:, 0]
@@ -181,12 +188,12 @@ def vert_interpolate_j(Match_ps, aerosolc, m_hybi, pint):
         above = (x < v[:, 0])[:, None]
         below = (x > v[:, -1])[:, None]
         levels.append(jnp.where(above, aerosolc[0][None, :],
-                                jnp.where(below, 0.0, interp)))
-    levels.append(jnp.zeros_like(levels[0]))              # top interface
+                                jnp.where(below, aerosolc[-1][None, :],
+                                          interp)))
     AER = jnp.stack(levels, axis=1)                       # [cols, pver+1, naer]
     AER = jnp.where(AER < 1e-40, 0.0, AER)
 
-    diff = AER[:, :-1] - AER[:, 1:]
-    diff = jnp.where(jnp.abs(diff) < 1e-15 * AER[:, 0:1], 0.0, diff)
+    diff = AER[:, 1:] - AER[:, :-1]
+    diff = jnp.where(jnp.abs(diff) < 1e-15 * AER[:, -1:], 0.0, diff)
     m_to_mmr = constants.gravity / jnp.abs(pint[:, :-1] - pint[:, 1:])
     return jnp.maximum(diff, 0.0) * m_to_mmr[:, :, None]

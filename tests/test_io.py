@@ -22,7 +22,10 @@ def test_history_full_3d(tmp_path, model):
     path = str(tmp_path / "full3d.nc")
     write_history(path, model, full_3d=True)
     back = read_netcdf(path)
-    assert back["theta"].shape == (model.mesh.nCells, model.vgrid.nVertLevels)
+    # Time-dimensioned layout matching the reference's 'Time nCells
+    # nVertLevels' history convention (mesh_loading.rg:810-1191).
+    assert back["_dims"]["Time"] == 1
+    assert back["theta"].shape == (1, model.mesh.nCells, model.vgrid.nVertLevels)
 
 
 def test_restart_roundtrip(tmp_path, model):

@@ -7,14 +7,12 @@ import os
 import subprocess
 import sys
 
-import pytest
-
 DEMO = os.path.join(os.path.dirname(__file__), os.pardir, "tools",
                     "multihost_demo.py")
 
 
-@pytest.mark.timeout(800)
 def test_two_process_run_matches_single_device():
+    # bounded by the subprocess timeout below (pytest-timeout not installed)
     env = dict(os.environ)
     env.pop("MPAS_MH_PID", None)
     env["MPAS_MH_PORT"] = "56431"

@@ -112,17 +112,37 @@ def test_physics_driver_end_to_end():
 
 
 def test_vert_interpolate_conserves_column():
+    """Per-layer masses recovered from the interpolated mmr must sum to the
+    climatological column burden, with nonzero interior layers (ADVICE r2:
+    the endpoint-flipped version dumped all mass into the two boundary
+    layers)."""
     cols, paerlev, naer = 4, 28, constants.naer
     m_hybi = np.linspace(0.0, 1.0, paerlev + 1)
     ps = np.full(cols, 1e5)
-    # cumulative mass decreasing from total at top interface to 0 at surface?
-    # reference convention: aerosolc[., 0, .] = total column mass
+    # data convention: aerosolc[k] = mass below data interface k
+    # (aerosolc[0] = column total at the data top, aerosolc[-1] = 0)
     total = 1e-4
     aerosolc = total * (1.0 - m_hybi)[None, :, None].repeat(cols, 0).repeat(naer, 2)
-    pint = np.linspace(1e3, 1e5, 13)[None, :].repeat(cols, 0)
+    # model interfaces bottom-up: pint[:, 0] = surface
+    pint = np.linspace(1e5, 1e3, 13)[None, :].repeat(cols, 0)
+    g = constants.gravity
     mmr = RS.vert_interpolate(ps, aerosolc, m_hybi, pint)
     assert mmr.shape == (cols, 12, naer)
-    assert np.all(np.isfinite(mmr))
+    assert np.all(np.isfinite(mmr)) and np.all(mmr >= 0)
+    # recovered per-layer mass sums to the burden above the model top
+    # subtracted from the total (model top at 1e3 Pa -> eta=0.01)
+    layer_mass = mmr * (pint[:, :-1] - pint[:, 1:])[:, :, None] / g
+    col = layer_mass.sum(axis=1)
+    np.testing.assert_allclose(col, total * (1.0 - 0.01), rtol=1e-6)
+    # interior layers carry mass (not just the two boundary layers)
+    assert np.all(layer_mass[:, 3:9] > 0)
+
+    # jnp variant agrees with the numpy oracle
+    import jax.numpy as jnp
+    mmr_j = np.asarray(RS.vert_interpolate_j(
+        jnp.asarray(ps), jnp.asarray(aerosolc[0]), jnp.asarray(m_hybi),
+        jnp.asarray(pint)))
+    np.testing.assert_allclose(mmr_j, mmr, rtol=1e-5, atol=1e-12)
 
 
 class TestColumnBenchmarks:
