@@ -1,15 +1,24 @@
 """Model state as JAX pytrees of dense arrays.
 
 TPU-first redesign of the reference's array-of-structs field spaces
-(data_structures.rg:10-639): every field is a dense array with the element
-index (cell/edge/vertex) major and the vertical level minor, so horizontal
-stencils are row gathers and vertical operators are cheap minor-axis shifts.
+(data_structures.rg:10-639): every field is a dense array with the vertical
+level MAJOR and the element index (cell/edge/vertex) minor, so the large
+horizontal extent lives in the TPU lane dimension: horizontal stencils are
+lane gathers from narrow [K, N] tables (~2 ns per gathered column on v5e vs
+~5 ns per gathered row in the element-major layout, whose K~41 minor axis
+also pads to 128 lanes in every intermediate), vertical operators are cheap
+major-axis slices, and interface patches are contiguous row updates
+(docs/PERF.md, tools/layout_study*.py).
 
 Array shape conventions (C=nCells, E=nEdges, V=nVertices, K=nVertLevels):
-  cell fields      [C, K]     (mass levels)    e.g. theta_m, rho_zz
-  cell w-fields    [C, K+1]   (interfaces)     e.g. w, rw, zgrid
-  edge fields      [E, K]                      e.g. u, ru
-  vertex fields    [V, K]                      e.g. vorticity
+  cell fields      [K, C]       (mass levels)    e.g. theta_m, rho_zz
+  cell w-fields    [K+1, C]     (interfaces)     e.g. w, rw, zgrid
+  edge fields      [K, E]                        e.g. u, ru
+  vertex fields    [K, V]                        e.g. vorticity
+  scalars          [nS, K, C]   (species major)
+Per-slot coefficient tables are slot-major so each weight row is a
+contiguous lane vector: dirHess [M, 1+M, C], tanWeights [M, M, C],
+zb_cell/zb3_cell [M, K+1, C].
 """
 
 from __future__ import annotations
@@ -79,8 +88,8 @@ class MeshArrays:
     # cell-form operators (mesh/coefficients.py compute_dir_hessian /
     # compute_tangential_matrix): same arithmetic as the advection / Thuburn
     # stencil gathers with ~5x fewer gather rows
-    dirHess: Any              # [C, M, 1+M]
-    tanWeights: Any           # [C, M, M]
+    dirHess: Any              # [M, 1+M, C] (slot-major)
+    tanWeights: Any           # [M, M, C] (slot-major)
     slotOnCell: Any           # [E, 2] int32
 
     # velocity reconstruction + deformation
@@ -129,64 +138,64 @@ class VerticalArrays:
 class StaticState:
     """Per-column static fields set at initialization: terrain-following
     metrics and the dry reference (base) state."""
-    zgrid: Any          # [C, K+1] physical interface heights
-    zz: Any             # [C, K]   d zeta / d z
-    dss: Any            # [C, K]   w-damping profile (atm_compute_damping_coefs)
-    zxu: Any            # [E, K]   edge slope dz/dx (init_atm_cases.rg:257-263)
-    zb_cell: Any        # [C, M, K+1] omega metric, cell-local copy
-    zb3_cell: Any       # [C, M, K+1] (scaled by coef_3rd_order)
-    rho_base: Any       # [C, K]
-    theta_base: Any     # [C, K]
-    rtheta_base: Any    # [C, K]
-    exner_base: Any     # [C, K]
-    pressure_base: Any  # [C, K]
-    t_init: Any         # [C, K] initial theta_m (perturbation-form mixing)
+    zgrid: Any          # [K+1, C] physical interface heights
+    zz: Any             # [K, C]   d zeta / d z
+    dss: Any            # [K, C]   w-damping profile (atm_compute_damping_coefs)
+    zxu: Any            # [K, E]   edge slope dz/dx (init_atm_cases.rg:257-263)
+    zb_cell: Any        # [M, K+1, C] omega metric, slot-major cell-local copy
+    zb3_cell: Any       # [M, K+1, C] (scaled by coef_3rd_order)
+    rho_base: Any       # [K, C]
+    theta_base: Any     # [K, C]
+    rtheta_base: Any    # [K, C]
+    exner_base: Any     # [K, C]
+    pressure_base: Any  # [K, C]
+    t_init: Any         # [K, C] initial theta_m (perturbation-form mixing)
 
 
 @struct.dataclass
 class State:
     """Prognostic + persistent diagnostic state advanced by the SRK3 step."""
     # prognostics (uncoupled)
-    u: Any              # [E, K] normal velocity
-    w: Any              # [C, K+1]
-    theta_m: Any        # [C, K] moist potential temperature
-    rho_zz: Any         # [C, K] coupled dry density rho/zz
+    u: Any              # [K, E] normal velocity
+    w: Any              # [K+1, C]
+    theta_m: Any        # [K, C] moist potential temperature
+    rho_zz: Any         # [K, C] coupled dry density rho/zz
 
     # coupled / perturbation variables
-    ru: Any             # [E, K]
-    rw: Any             # [C, K+1]
-    rho_p: Any          # [C, K]
-    rtheta_p: Any       # [C, K]
-    exner: Any          # [C, K]
-    pressure_p: Any     # [C, K]
+    ru: Any             # [K, E]
+    rw: Any             # [K+1, C]
+    rho_p: Any          # [K, C]
+    rtheta_p: Any       # [K, C]
+    exner: Any          # [K, C]
+    pressure_p: Any     # [K, C]
 
     # time-averaged fluxes for scalar transport
-    ruAvg: Any          # [E, K]
-    wwAvg: Any          # [C, K+1]
+    ruAvg: Any          # [K, E]
+    wwAvg: Any          # [K+1, C]
 
     # persistent diagnostics (atm_compute_solve_diagnostics outputs, consumed
     # by the next stage's dyn_tend)
-    ke: Any             # [C, K]
-    divergence: Any     # [C, K]
-    vorticity: Any      # [V, K]
-    pv_edge: Any        # [E, K]
-    rho_edge: Any       # [E, K]
-    v: Any              # [E, K] tangential velocity
-    uReconstructZonal: Any       # [C, K]
-    uReconstructMeridional: Any  # [C, K]
+    ke: Any             # [K, C]
+    divergence: Any     # [K, C]
+    vorticity: Any      # [K, V]
+    pv_edge: Any        # [K, E]
+    rho_edge: Any       # [K, E]
+    v: Any              # [K, E] tangential velocity
+    uReconstructZonal: Any       # [K, C]
+    uReconstructMeridional: Any  # [K, C]
 
     # physics couplings (zero for dry dynamics)
-    rt_diabatic_tend: Any   # [C, K]
-    tend_rho_physics: Any   # [C, K]
-    tend_rtheta_physics: Any  # [C, K]
-    tend_ru_physics: Any    # [E, K]
+    rt_diabatic_tend: Any   # [K, C]
+    tend_rho_physics: Any   # [K, C]
+    tend_rtheta_physics: Any  # [K, C]
+    tend_ru_physics: Any    # [K, E]
 
     # moisture coupling coefficients (atm_compute_moist_coefficients)
-    qtot: Any           # [C, K]
-    cqw: Any            # [C, K]
-    cqu: Any            # [E, K]
+    qtot: Any           # [K, C]
+    cqw: Any            # [K, C] (interface slots 1..K-1 in rows 1..K-1)
+    cqu: Any            # [K, E]
 
-    # scalars (moisture etc.), [C, K, nScalars]; None when dry
+    # scalars (moisture etc.), [nScalars, K, C]; None when dry
     scalars: Any = None
     # accumulated grid-scale precipitation [C] (mm); None without microphysics
     rainnc: Any = None
@@ -196,18 +205,18 @@ def zero_state(C: int, E: int, V: int, K: int, dtype=jnp.float32,
                n_scalars: int = 0) -> State:
     z = lambda *s: jnp.zeros(s, dtype)
     return State(
-        u=z(E, K), w=z(C, K + 1), theta_m=z(C, K), rho_zz=z(C, K),
-        ru=z(E, K), rw=z(C, K + 1), rho_p=z(C, K), rtheta_p=z(C, K),
-        exner=z(C, K), pressure_p=z(C, K),
-        ruAvg=z(E, K), wwAvg=z(C, K + 1),
-        ke=z(C, K), divergence=z(C, K), vorticity=z(V, K),
-        pv_edge=z(E, K), rho_edge=z(E, K), v=z(E, K),
-        uReconstructZonal=z(C, K), uReconstructMeridional=z(C, K),
-        rt_diabatic_tend=z(C, K), tend_rho_physics=z(C, K),
-        tend_rtheta_physics=z(C, K), tend_ru_physics=z(E, K),
+        u=z(K, E), w=z(K + 1, C), theta_m=z(K, C), rho_zz=z(K, C),
+        ru=z(K, E), rw=z(K + 1, C), rho_p=z(K, C), rtheta_p=z(K, C),
+        exner=z(K, C), pressure_p=z(K, C),
+        ruAvg=z(K, E), wwAvg=z(K + 1, C),
+        ke=z(K, C), divergence=z(K, C), vorticity=z(K, V),
+        pv_edge=z(K, E), rho_edge=z(K, E), v=z(K, E),
+        uReconstructZonal=z(K, C), uReconstructMeridional=z(K, C),
+        rt_diabatic_tend=z(K, C), tend_rho_physics=z(K, C),
+        tend_rtheta_physics=z(K, C), tend_ru_physics=z(K, E),
         # dry atmosphere: moisture coupling coefficients are exactly 1
-        qtot=z(C, K), cqw=jnp.ones((C, K), dtype), cqu=jnp.ones((E, K), dtype),
-        scalars=(z(C, K, n_scalars) if n_scalars else None),
+        qtot=z(K, C), cqw=jnp.ones((K, C), dtype), cqu=jnp.ones((K, E), dtype),
+        scalars=(z(n_scalars, K, C) if n_scalars else None),
     )
 
 
@@ -269,7 +278,10 @@ def mesh_arrays_from_mesh(mesh: Mesh, namelist, dtype=jnp.float32,
         bdyMaskCell=i(bdy_c), bdyMaskEdge=i(bdy_e),
         advCellsForEdge=i(adv.advCellsForEdge), advMaskForEdge=f(adv.advMaskForEdge),
         adv_coefs=f(adv.adv_coefs), adv_coefs_3rd=f(adv.adv_coefs_3rd),
-        dirHess=f(dirHess), tanWeights=f(tanWeights), slotOnCell=i(slotOnCell),
+        # slot-major layouts: each weight row is a contiguous [C] lane vector
+        dirHess=f(np.moveaxis(dirHess, 0, 2)),
+        tanWeights=f(np.moveaxis(tanWeights, 0, 2)),
+        slotOnCell=i(slotOnCell),
         coeffs_reconstruct=f(coeffs_reconstruct),
         defc_a=f(defc_a), defc_b=f(defc_b),
         fEdge=f(fEdge), fVertex=f(fVertex),

@@ -71,19 +71,21 @@ class Model:
         if self._radiation_fn is None:
             self._radiation_fn = make_radiation_fn(phys, self.dtype)
         out = output_diagnostics(self.state, self.static)
-        pressure = out["pressure"]
+        pressure = out["pressure"]                       # [K, C]
         vg = self.vgrid
-        sp = (vg.cf1 * pressure[:, 0] + vg.cf2 * pressure[:, 1]
-              + vg.cf3 * pressure[:, 2])
+        sp = (vg.cf1 * pressure[0] + vg.cf2 * pressure[1]
+              + vg.cf3 * pressure[2])
         s = self.state
-        qv = s.scalars[..., 0] if s.scalars is not None else None
-        qc = (s.scalars[..., 1] if s.scalars is not None
-              and s.scalars.shape[-1] > 1 else None)
+        # the columnar radiation keeps the CAM [cols, pver] convention;
+        # transpose the level-major dycore fields at the coupling boundary
+        qv = s.scalars[0].T if s.scalars is not None else None
+        qc = (s.scalars[1].T if s.scalars is not None
+              and s.scalars.shape[0] > 1 else None)
         tp = time_params(phys, julian, self.dtype)
         rthraten, diags = self._radiation_fn(
             self.mesh_arrays.latCell, self.mesh_arrays.lonCell,
-            s.theta_m, s.exner, pressure, sp, qv, qc, tp)
-        self.state = s.replace(rt_diabatic_tend=rthraten.astype(self.dtype))
+            s.theta_m.T, s.exner.T, pressure.T, sp, qv, qc, tp)
+        self.state = s.replace(rt_diabatic_tend=rthraten.T.astype(self.dtype))
         import numpy as np
         pd = {k: np.asarray(v) for k, v in diags.items()}
         pd["rthraten"] = np.asarray(rthraten)
@@ -123,8 +125,14 @@ def build_model(grid_path: str = DEFAULT_GRID,
     vert = core_state.vertical_arrays_from_grid(vg, dtype)
 
     static_np, init_np = jw_init.init_jw(mesh, vg, nl, deriv_two)
+    # host init builds element-major [N, K] arrays; flip to the level-major
+    # device layout here (zb/zb3 become slot-major [M, K+1, C])
     f = lambda a: jnp.asarray(a, dtype)
-    static = core_state.StaticState(**{k: f(v) for k, v in static_np.items()})
+    fT = lambda a: jnp.asarray(np.asarray(a).T, dtype)
+    fz = lambda a: jnp.asarray(np.moveaxis(np.asarray(a), 0, 2), dtype)
+    static = core_state.StaticState(
+        **{k: (fz(v) if k in ("zb_cell", "zb3_cell") else fT(v))
+           for k, v in static_np.items()})
 
     C, E, V, K = mesh.nCells, mesh.nEdges, mesh.nVertices, vg.nVertLevels
     use_mp = nl.config_microphysics == "kessler"
@@ -139,13 +147,13 @@ def build_model(grid_path: str = DEFAULT_GRID,
         nl = nl.replace(config_kessler_nfall=fall_substeps(nl.config_dt, dz_min))
     state = core_state.zero_state(C, E, V, K, dtype, n_scalars=n_scalars)
     state = state.replace(
-        u=f(init_np["u"]), w=f(init_np["w"]), theta_m=f(init_np["theta_m"]),
-        rho_zz=f(init_np["rho"]),            # physical rho; coupled below
-        v=f(init_np["v"]), pressure_p=f(init_np["pressure_p"]),
-        exner=f(init_np["exner"]))
+        u=fT(init_np["u"]), w=fT(init_np["w"]), theta_m=fT(init_np["theta_m"]),
+        rho_zz=fT(init_np["rho"]),           # physical rho; coupled below
+        v=fT(init_np["v"]), pressure_p=fT(init_np["pressure_p"]),
+        exner=fT(init_np["exner"]))
     if n_scalars:
-        qv = f(init_np["qv"]) if nl.config_moisture else jnp.zeros((C, K), dtype)
-        scal = jnp.zeros((C, K, n_scalars), dtype).at[..., 0].set(qv)
+        qv = fT(init_np["qv"]) if nl.config_moisture else jnp.zeros((K, C), dtype)
+        scal = jnp.zeros((n_scalars, K, C), dtype).at[0].set(qv)
         state = state.replace(scalars=scal)
     if use_mp:
         state = state.replace(rainnc=jnp.zeros((C,), dtype))

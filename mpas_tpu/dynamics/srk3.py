@@ -139,8 +139,8 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
             ruAvg = halo.edge(state.ruAvg)
             wwAvg, rho_old = halo.cell(state.wwAvg, state.rho_zz)
             scal = state.scalars
-            for i in range(scal.shape[-1]):
-                scal = scal.at[..., i].set(halo.cell(scal[..., i]))
+            for i in range(scal.shape[0]):       # species-major [nS, K, C]
+                scal = scal.at[i].set(halo.cell(scal[i]))
         else:
             ruAvg, wwAvg, rho_old, scal = (state.ruAvg, state.wwAvg,
                                            state.rho_zz, state.scalars)
@@ -151,7 +151,7 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
     # microphysics: close the moisture loop (the capability the reference
     # leaves open — SURVEY.md section 8 "scalar transport absent throughout")
     if (nl.config_microphysics == "kessler" and state.scalars is not None
-            and state.scalars.shape[-1] >= 3):
+            and state.scalars.shape[0] >= 3):
         from ..physics import kessler as mp
         state = mp.apply_kessler(state, static, vert, nl, dt)
 

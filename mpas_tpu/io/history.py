@@ -23,21 +23,26 @@ PLOT_LEVEL = 0
 
 
 def _snapshot_fields(model, state, full_3d: bool):
-    """One time level of history fields (host numpy dict)."""
+    """One time level of history fields (host numpy dict).
+
+    Device fields are level-major [K, N] (core/state.py); the file keeps the
+    reference's element-major [nCells, nVertLevels] convention, so each
+    field transposes at this host boundary."""
     out = diag_ops.output_diagnostics(state, model.static)
-    pressure = np.asarray(out["pressure"])
+    pressure = np.asarray(out["pressure"]).T              # [C, K]
     vg = model.vgrid
     sp = (vg.cf1 * pressure[:, 0] + vg.cf2 * pressure[:, 1]
           + vg.cf3 * pressure[:, 2])
     K = pressure.shape[1]
+    tr = lambda a: np.asarray(a).T
     sl = (lambda a: a) if full_3d else (lambda a: a[:, PLOT_LEVEL:PLOT_LEVEL + 1])
     return {
-        "u": sl(np.asarray(state.u)), "v": sl(np.asarray(state.v)),
-        "w": sl(np.asarray(state.w)[:, :K]),
-        "rho": sl(np.asarray(out["rho"])),
-        "theta": sl(np.asarray(out["theta"])),
+        "u": sl(tr(state.u)), "v": sl(tr(state.v)),
+        "w": sl(tr(state.w)[:, :K]),
+        "rho": sl(tr(out["rho"])),
+        "theta": sl(tr(out["theta"])),
         "pressure": sl(pressure),
-        "pressure_p": sl(np.asarray(state.pressure_p)),
+        "pressure_p": sl(tr(state.pressure_p)),
         "surface_pressure": sp,
     }
 
@@ -60,7 +65,7 @@ def write_history(path: str, model, state=None, full_3d: bool = False,
         snapshots = [(float(getattr(model, "step_count", 0)),
                       _snapshot_fields(model, state, full_3d))]
     T = len(snapshots)
-    K = model.state.theta_m.shape[1]
+    K = model.state.theta_m.shape[0]
     dims = {
         "Time": T, "nCells": m.nCells, "nEdges": m.nEdges,
         "nVertices": m.nVertices, "maxEdges": m.maxEdges,

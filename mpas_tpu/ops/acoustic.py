@@ -6,6 +6,10 @@ atm_advance_acoustic_step (:1546-1719) and atm_divergence_damping_3d
 implicit vertical with off-centering epssm, implicit Rayleigh w damping from
 Klemp et al. 2008).
 
+Layout: all fields are level-major (core/state.py) — the tridiagonal
+lax.scan runs directly over axis 0 with [C]-wide carries (no transposes),
+and the interface patches are contiguous major-axis row updates.
+
 Reference defects corrected (SURVEY.md section 8):
   - the horizontal momentum (pressure-gradient) update is implemented (the
     reference comments it out at :1592-1599, so its acoustic steps never
@@ -37,30 +41,30 @@ _DEBUG_DISABLE = set()
 class ImplicitCoefs:
     """Tridiagonal coefficients for the vertically implicit w solve."""
     cofrz: Any      # [K]      mass levels
-    cofwr: Any      # [C, K+1] interfaces (1..K-1)
-    cofwz: Any      # [C, K+1]
-    coftz: Any      # [C, K+1]
-    cofwt: Any      # [C, K]   mass levels
-    a_tri: Any      # [C, K+1]
-    alpha_tri: Any  # [C, K+1]
-    gamma_tri: Any  # [C, K+1]
+    cofwr: Any      # [K+1, C] interfaces (1..K-1)
+    cofwz: Any      # [K+1, C]
+    coftz: Any      # [K+1, C]
+    cofwt: Any      # [K, C]   mass levels
+    a_tri: Any      # [K+1, C]
+    alpha_tri: Any  # [K+1, C]
+    gamma_tri: Any  # [K+1, C]
 
 
 @struct.dataclass
 class AcousticState:
     """Perturbation variables advanced by the acoustic loop."""
-    ru_p: Any           # [E, K]
-    rho_pp: Any         # [C, K]
-    rtheta_pp: Any      # [C, K]
-    rtheta_pp_old: Any  # [C, K]
-    rw_p: Any           # [C, K+1]
+    ru_p: Any           # [K, E]
+    rho_pp: Any         # [K, C]
+    rtheta_pp: Any      # [K, C]
+    rtheta_pp_old: Any  # [K, C]
+    rw_p: Any           # [K+1, C]
 
 
 def compute_vert_imp_coefs(state, static, vert, nl, dts) -> ImplicitCoefs:
     """Coefficients for the implicit acoustic/gravity-wave solve
     (dynamics_tasks.rg:513-592), vectorized; the alpha/gamma LU recurrence
     runs as a lax.scan over the vertical."""
-    C, K = state.theta_m.shape
+    K, C = state.theta_m.shape
     fzm, fzp, rdzw, rdzu = vert.fzm, vert.fzp, vert.rdzw, vert.rdzu
     g = constants.gravity
     rcv = constants.rcv
@@ -69,17 +73,17 @@ def compute_vert_imp_coefs(state, static, vert, nl, dts) -> ImplicitCoefs:
 
     cofrz = dtseps * rdzw                                       # [K]
 
-    zz_i = st.interface_interp(static.zz, fzm, fzp)             # [C, K+1]
+    zz_i = st.interface_interp(static.zz, fzm, fzp)             # [K+1, C]
     exner_i = st.interface_interp(state.exner, fzm, fzp)
     theta_i = st.interface_interp(state.theta_m, fzm, fzp)
 
     cofwr = 0.5 * dtseps * g * zz_i
     if "cofwr" in _DEBUG_DISABLE:
         cofwr = cofwr * 0.0
-    # cqw is stored at interface slots 1..K-1 (index k = interface k)
-    zero = jnp.zeros((C, 1), zz_i.dtype)
-    cqw_i = jnp.concatenate([zero, state.cqw[:, 1:], zero], axis=1)
-    cofwz = dtseps * c2 * zz_i * rdzu[None, :] * cqw_i * exner_i
+    # cqw is stored at interface slots 1..K-1 (row k = interface k)
+    zero = jnp.zeros((1, C), zz_i.dtype)
+    cqw_i = jnp.concatenate([zero, state.cqw[1:], zero], axis=0)
+    cofwz = dtseps * c2 * zz_i * rdzu[:, None] * cqw_i * exner_i
     coftz = dtseps * theta_i
     cofwt = (0.5 * dtseps * rcv * static.zz * g * static.rho_base
              / (1.0 + state.qtot) * state.exner
@@ -89,24 +93,21 @@ def compute_vert_imp_coefs(state, static, vert, nl, dts) -> ImplicitCoefs:
 
     # tridiagonal rows at interfaces k = 1..K-1
     km = slice(1, K)
-    a_tri = jnp.zeros_like(cofwr)
-    b_tri = jnp.ones_like(cofwr)
-    c_tri = jnp.zeros_like(cofwr)
     zz = static.zz
-    a_int = (-cofwz[:, km] * coftz[:, 0:K - 1] * rdzw[None, 0:K - 1] * zz[:, 0:K - 1]
-             + cofwr[:, km] * cofrz[None, 0:K - 1]
-             - cofwt[:, 0:K - 1] * coftz[:, 0:K - 1] * rdzw[None, 0:K - 1])
-    b_int = (1.0 + cofwz[:, km] * (coftz[:, km] * rdzw[None, 1:K] * zz[:, 1:K]
-                                   + coftz[:, km] * rdzw[None, 0:K - 1] * zz[:, 0:K - 1])
-             - coftz[:, km] * (cofwt[:, 1:K] * rdzw[None, 1:K]
-                               - cofwt[:, 0:K - 1] * rdzw[None, 0:K - 1])
-             + cofwr[:, km] * (cofrz[None, 1:K] - cofrz[None, 0:K - 1]))
-    c_int = (-cofwz[:, km] * coftz[:, 2:K + 1] * rdzw[None, 1:K] * zz[:, 1:K]
-             - cofwr[:, km] * cofrz[None, 1:K]
-             + cofwt[:, 1:K] * coftz[:, 2:K + 1] * rdzw[None, 1:K])
-    a_tri = a_tri.at[:, km].set(a_int)
-    b_tri = b_tri.at[:, km].set(b_int)
-    c_tri = c_tri.at[:, km].set(c_int)
+    a_int = (-cofwz[km] * coftz[0:K - 1] * rdzw[0:K - 1, None] * zz[0:K - 1]
+             + cofwr[km] * cofrz[0:K - 1, None]
+             - cofwt[0:K - 1] * coftz[0:K - 1] * rdzw[0:K - 1, None])
+    b_int = (1.0 + cofwz[km] * (coftz[km] * rdzw[1:K, None] * zz[1:K]
+                                + coftz[km] * rdzw[0:K - 1, None] * zz[0:K - 1])
+             - coftz[km] * (cofwt[1:K] * rdzw[1:K, None]
+                            - cofwt[0:K - 1] * rdzw[0:K - 1, None])
+             + cofwr[km] * (cofrz[1:K, None] - cofrz[0:K - 1, None]))
+    c_int = (-cofwz[km] * coftz[2:K + 1] * rdzw[1:K, None] * zz[1:K]
+             - cofwr[km] * cofrz[1:K, None]
+             + cofwt[1:K] * coftz[2:K + 1] * rdzw[1:K, None])
+    a_tri = jnp.zeros_like(cofwr).at[km].set(a_int)
+    b_tri = jnp.ones_like(cofwr).at[km].set(b_int)
+    c_tri = jnp.zeros_like(cofwr).at[km].set(c_int)
 
     # LU factors: alpha(k) = 1/(b(k) - a(k)*gamma(k-1)); gamma(k) = c(k)*alpha(k)
     def lu_step(gamma_prev, abc):
@@ -115,11 +116,11 @@ def compute_vert_imp_coefs(state, static, vert, nl, dts) -> ImplicitCoefs:
         gamma_k = c_k * alpha_k
         return gamma_k, (alpha_k, gamma_k)
 
-    xs = (a_tri[:, km].T, b_tri[:, km].T, c_tri[:, km].T)       # [K-1, C]
+    xs = (a_tri[km], b_tri[km], c_tri[km])                      # [K-1, C]
     # carry derived from a varying input so shard_map vma typing is satisfied
-    _, (alpha_s, gamma_s) = jax.lax.scan(lu_step, a_tri[:, 0] * 0.0, xs)
-    alpha_tri = jnp.zeros_like(a_tri).at[:, km].set(alpha_s.T)
-    gamma_tri = jnp.zeros_like(a_tri).at[:, km].set(gamma_s.T)
+    _, (alpha_s, gamma_s) = jax.lax.scan(lu_step, a_tri[0] * 0.0, xs)
+    alpha_tri = jnp.zeros_like(a_tri).at[km].set(alpha_s)
+    gamma_tri = jnp.zeros_like(a_tri).at[km].set(gamma_s)
 
     return ImplicitCoefs(cofrz=cofrz, cofwr=cofwr, cofwz=cofwz, coftz=coftz,
                          cofwt=cofwt, a_tri=a_tri, alpha_tri=alpha_tri,
@@ -129,9 +130,9 @@ def compute_vert_imp_coefs(state, static, vert, nl, dts) -> ImplicitCoefs:
 def _tridiag_solve(rhs, coefs: ImplicitCoefs):
     """Solve the pre-factored tridiagonal system for rw_p on interfaces
     1..K-1 (rows 0 and K are 0): forward substitution then back-substitution,
-    each a lax.scan over the vertical with [C]-wide carries."""
-    C, Kp1 = rhs.shape
-    K = Kp1 - 1
+    each a lax.scan directly over the level-major axis with [C]-wide
+    carries."""
+    K = rhs.shape[0] - 1
     km = slice(1, K)
 
     def fwd(w_prev, x):
@@ -139,24 +140,24 @@ def _tridiag_solve(rhs, coefs: ImplicitCoefs):
         w_k = (r_k - a_k * w_prev) * al_k
         return w_k, w_k
 
-    xs = (rhs[:, km].T, coefs.a_tri[:, km].T, coefs.alpha_tri[:, km].T)
-    _, w_f = jax.lax.scan(fwd, rhs[:, 0] * 0.0, xs)             # [K-1, C]
+    xs = (rhs[km], coefs.a_tri[km], coefs.alpha_tri[km])
+    _, w_f = jax.lax.scan(fwd, rhs[0] * 0.0, xs)                # [K-1, C]
 
     def bwd(w_next, x):
         w_k, g_k = x
         w_new = w_k - g_k * w_next
         return w_new, w_new
 
-    _, w_b = jax.lax.scan(bwd, rhs[:, 0] * 0.0,
-                          (w_f[::-1], coefs.gamma_tri[:, km].T[::-1]))
-    w = jnp.zeros_like(rhs).at[:, km].set(w_b[::-1].T)
+    _, w_b = jax.lax.scan(bwd, rhs[0] * 0.0,
+                          (w_f[::-1], coefs.gamma_tri[km][::-1]))
+    w = jnp.zeros_like(rhs).at[km].set(w_b[::-1])
     return w
 
 
 def _stage_constant_edge_pairs(state, static, mesh):
-    """Packed edge pairs of the fields constant within one RK stage (zz,
-    exner, theta_m): one gather per stage, CSE'd across the unrolled
-    acoustic substeps."""
+    """Stacked edge pairs of the fields constant within one RK stage (zz,
+    exner, theta_m): one gather per side per stage, CSE'd across the
+    unrolled acoustic substeps."""
     return st.edge_pairs(mesh.cellsOnEdge, static.zz, state.exner,
                          state.theta_m)
 
@@ -171,10 +172,10 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
 
     `damp_previous`: apply the 3-D divergence damping of the PREVIOUS
     substep's ru_p here, folding its rtheta_pp difference into this
-    substep's packed pressure-gradient gather (one row-gather instead of
-    two).  The caller applies a standalone damping after the final substep.
+    substep's stacked pressure-gradient gather (one gather instead of two).
+    The caller applies a standalone damping after the final substep.
     """
-    C, K = ac.rho_pp.shape
+    K, C = ac.rho_pp.shape
     fzm, fzp, rdzw = vert.fzm, vert.fzp, vert.rdzw
     epssm = nl.config_epssm
     resm = (1.0 - epssm) / (1.0 + epssm)
@@ -186,7 +187,7 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
 
     if small_step != 0:
         # horizontal momentum update with acoustic pressure gradient; the
-        # per-substep perturbation fields share one packed gather, while the
+        # per-substep perturbation fields share one stacked gather, while the
         # stage-constant zz/exner/theta gathers CSE across the substeps
         if damp_previous:
             (rtpp1, rtpp2), (rpp1, rpp2), (dpp1, dpp2) = st.edge_pairs(
@@ -200,7 +201,7 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
             ru_p_in = ac.ru_p + coef_d * (dpp1 - dpp2) / (th1 + th2)
         else:
             ru_p_in = ac.ru_p
-        pgrad = ((rtpp2 - rtpp1) * mesh.invDcEdge[:, None]) / (0.5 * (zz1 + zz2))
+        pgrad = ((rtpp2 - rtpp1) * mesh.invDcEdge[None, :]) / (0.5 * (zz1 + zz2))
         pgrad = state.cqu * 0.5 * c2 * (ex1 + ex2) * pgrad
         pgrad = pgrad + 0.5 * static.zxu * g * (rpp1 + rpp2)
         if "ac_pgrad" in _DEBUG_DISABLE:
@@ -220,10 +221,10 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
 
     # --- cell column update ---
     # horizontal divergence of ru_p into mass & theta right-hand sides
-    theta_e = 0.5 * (th1 + th2)                                         # [E, K]
+    theta_e = 0.5 * (th1 + th2)                                         # [K, E]
     sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
-    wdiv = dts * mesh.invAreaCell[:, None]
-    # the mass and theta divergences as column-form slot reductions
+    wdiv = dts * mesh.invAreaCell[None, :]
+    # the mass and theta divergences as stacked slot reductions
     ((ru_sum,), (rut_sum,)) = st.slot_reduce(
         mesh.edgesOnCell, [(ru_p, [sign_dv]), (ru_p * theta_e, [sign_dv])])
     rs0 = -wdiv * ru_sum
@@ -233,11 +234,11 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
     if "ac_ts0" in _DEBUG_DISABLE:
         ts0 = ts0 * 0.0
 
-    d_rwp = st.delta(rw_p)                                              # [C, K]
-    rs = rho_pp + dts * tend.tend_rho + rs0 - coefs.cofrz[None, :] * resm * d_rwp
+    d_rwp = st.delta(rw_p)                                              # [K, C]
+    rs = rho_pp + dts * tend.tend_rho + rs0 - coefs.cofrz[:, None] * resm * d_rwp
     d_ctz = st.delta(coefs.coftz * rw_p)
     ts = (rtheta_pp + dts * tend.tend_theta + ts0
-          - resm * rdzw[None, :] * d_ctz)
+          - resm * rdzw[:, None] * d_ctz)
 
     if getattr(nl, "config_use_pallas_acoustic", False):
         # fused Pallas column kernel: rs/ts assembly, implicit solve, damping
@@ -246,8 +247,8 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
         zz_i2 = st.interface_interp(static.zz, fzm, fzp)
         rho_i2 = st.interface_interp(state.rho_zz, fzm, fzp)
         dss_i2 = jnp.concatenate(
-            [jnp.zeros((C, 1), static.zz.dtype), static.dss[:, 1:],
-             jnp.zeros((C, 1), static.zz.dtype)], axis=1)
+            [jnp.zeros((1, C), static.zz.dtype), static.dss[1:],
+             jnp.zeros((1, C), static.zz.dtype)], axis=0)
         import jax as _jax
         interp = _jax.default_backend() != "tpu"
         rho_pp_n, rtheta_pp_n, rw_p_n, wwAvg_n = pallas_acoustic.acoustic_column_update(
@@ -263,38 +264,37 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
 
     # vertically implicit w update on interfaces 1..K-1
     km = slice(1, K)
-    wwAvg = wwAvg.at[:, km].add(0.5 * (1.0 - epssm) * rw_p[:, km])
+    wwAvg = wwAvg.at[km].add(0.5 * (1.0 - epssm) * rw_p[km])
 
     zz = static.zz
-    rhs = jnp.zeros_like(rw_p)
-    rhs_int = (rw_p[:, km] + dts * tend.tend_w[:, km]
-               - coefs.cofwz[:, km] * ((zz[:, 1:K] * ts[:, 1:K]
-                                        - zz[:, 0:K - 1] * ts[:, 0:K - 1])
-                                       + resm * (zz[:, 1:K] * rtheta_pp[:, 1:K]
-                                                 - zz[:, 0:K - 1] * rtheta_pp[:, 0:K - 1]))
-               - coefs.cofwr[:, km] * ((rs[:, 1:K] + rs[:, 0:K - 1])
-                                       + resm * (rho_pp[:, 1:K] + rho_pp[:, 0:K - 1]))
-               + coefs.cofwt[:, 1:K] * (ts[:, 1:K] + resm * rtheta_pp[:, 1:K])
-               + coefs.cofwt[:, 0:K - 1] * (ts[:, 0:K - 1] + resm * rtheta_pp[:, 0:K - 1]))
-    rhs = rhs.at[:, km].set(rhs_int)
+    rhs_int = (rw_p[km] + dts * tend.tend_w[km]
+               - coefs.cofwz[km] * ((zz[1:K] * ts[1:K]
+                                     - zz[0:K - 1] * ts[0:K - 1])
+                                    + resm * (zz[1:K] * rtheta_pp[1:K]
+                                              - zz[0:K - 1] * rtheta_pp[0:K - 1]))
+               - coefs.cofwr[km] * ((rs[1:K] + rs[0:K - 1])
+                                    + resm * (rho_pp[1:K] + rho_pp[0:K - 1]))
+               + coefs.cofwt[1:K] * (ts[1:K] + resm * rtheta_pp[1:K])
+               + coefs.cofwt[0:K - 1] * (ts[0:K - 1] + resm * rtheta_pp[0:K - 1]))
+    rhs = jnp.zeros_like(rw_p).at[km].set(rhs_int)
     rw_p_new = _tridiag_solve(rhs, coefs)
 
     # implicit Rayleigh damping of w (gravity-wave absorbing layer)
     zz_i = st.interface_interp(zz, fzm, fzp)
     rho_i = st.interface_interp(state.rho_zz, fzm, fzp)
-    dss_i = jnp.concatenate([jnp.zeros((C, 1), zz.dtype), static.dss[:, 1:],
-                             jnp.zeros((C, 1), zz.dtype)], axis=1)      # [C, K+1]
-    dw_save = save.rw_save - state.rw                                   # [C, K+1]
+    dss_i = jnp.concatenate([jnp.zeros((1, C), zz.dtype), static.dss[1:],
+                             jnp.zeros((1, C), zz.dtype)], axis=0)      # [K+1, C]
+    dw_save = save.rw_save - state.rw                                   # [K+1, C]
     damped = ((rw_p_new + dw_save - dts * dss_i * zz_i * rho_i * state.w)
               / (1.0 + dts * dss_i) - dw_save)
-    rw_p_new = jnp.zeros_like(rw_p_new).at[:, km].set(damped[:, km])
+    rw_p_new = jnp.zeros_like(rw_p_new).at[km].set(damped[km])
 
-    wwAvg = wwAvg.at[:, km].add(0.5 * (1.0 + epssm) * rw_p_new[:, km])
+    wwAvg = wwAvg.at[km].add(0.5 * (1.0 + epssm) * rw_p_new[km])
 
     # recover rho_pp, rtheta_pp from the updated rw_p
     d_rwp_new = st.delta(rw_p_new)
-    rho_pp = rs - coefs.cofrz[None, :] * d_rwp_new
-    rtheta_pp = ts - rdzw[None, :] * st.delta(coefs.coftz * rw_p_new)
+    rho_pp = rs - coefs.cofrz[:, None] * d_rwp_new
+    rtheta_pp = ts - rdzw[:, None] * st.delta(coefs.coftz * rw_p_new)
 
     if "freeze_theta" in _DEBUG_DISABLE:
         rtheta_pp = rtheta_pp * 0.0

@@ -3,7 +3,8 @@ state initialization, output diagnostics.
 
 Rebuilds atm_compute_solve_diagnostics (dynamics_tasks.rg:328-454),
 mpas_reconstruct_2d (:1894-1948), atm_init_coupled_diagnostics (:651-725) and
-atm_compute_output_diagnostics (:729-744) as pure gather-based functions.
+atm_compute_output_diagnostics (:729-744) as pure gather-based functions over
+level-major [K, N] fields (core/state.py).
 Reference defects corrected here (SURVEY.md section 8):
   - divergence accumulates s * u (the reference's `s + u` at :375);
   - the tangential-velocity sum includes all nEdgesOnEdge terms (the
@@ -28,8 +29,8 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
     ke, divergence, vorticity, pv_edge, rho_edge, v (if reconstruct_v).
 
     `cell_form`: compute the tangential velocity via the per-cell Thuburn
-    matrices (mesh.tanWeights + slot gathers) instead of the [E, W2]-row
-    edgesOnEdge gather — identical arithmetic, far fewer gather rows.
+    matrices (mesh.tanWeights + slot gathers) instead of the [E, W2]-slot
+    edgesOnEdge reduction — identical arithmetic, far fewer gathers.
 
     `apvm_upwinding` > 0 applies the anticipated-potential-vorticity
     upwinding of pv_edge (Ringler et al. JCP 2010 eq. 72; MPAS
@@ -45,26 +46,26 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
 
     # edge-interpolated mass and kinetic energy
     rho_edge = st.avg_cell_to_edge(h, mesh.cellsOnEdge)
-    efac = (mesh.dcEdge * mesh.dvEdge)[:, None]
+    efac = (mesh.dcEdge * mesh.dvEdge)[None, :]
     ke_edge = efac * u * u
 
     # circulation -> relative vorticity at vertices
     w_vortex = mesh.edgesOnVertexSign * jnp.take(mesh.dcEdge, mesh.edgesOnVertex)
     vorticity = st.sum_edges_to_vertex(u, mesh.edgesOnVertex, w_vortex)
-    vorticity = vorticity * mesh.invAreaTriangle[:, None]
+    vorticity = vorticity * mesh.invAreaTriangle[None, :]
 
     # divergence and cell kinetic energy share the slot-gathered u: the KE
     # edge value is efac * u^2 with efac a mesh constant, so its per-cell
-    # weight absorbs the gathered efac (column-form; st.slot_reduce doc)
+    # weight absorbs the gathered efac (st.slot_reduce doc)
     w_div = (mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
              * mesh.invAreaCell[:, None])
     w_ke = (0.25 * mesh.edgesOnCell_mask * mesh.invAreaCell[:, None]
             * jnp.take(mesh.dcEdge * mesh.dvEdge, mesh.edgesOnCell))
     gu_slots = st.slot_gather(mesh.edgesOnCell, u)
     divergence = sum(w_div[:, m][None, :] * gu_slots[m]
-                     for m in range(len(gu_slots))).T
+                     for m in range(len(gu_slots)))
     ke = sum(w_ke[:, m][None, :] * gu_slots[m] ** 2
-             for m in range(len(gu_slots))).T
+             for m in range(len(gu_slots)))
 
     kite_area = None
     if hollingsworth or apvm_upwinding > 0.0:
@@ -74,23 +75,24 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
 
     if hollingsworth:
         # AG's KE construction (dynamics_tasks.rg:392-418)
-        r = 0.25 * mesh.invAreaTriangle[:, None]
+        r = 0.25 * mesh.invAreaTriangle[None, :]
         ke_vertex = st.sum_edges_to_vertex(
             ke_edge, mesh.edgesOnVertex, jnp.ones_like(mesh.edgesOnVertexSign)) * r
         ke_fact = 1.0 - 0.375
         ke = ke * ke_fact
-        kv = jnp.take(ke_vertex, mesh.verticesOnCell, axis=0)  # [C, M, K]
-        ke = ke + (1.0 - ke_fact) * mesh.invAreaCell[:, None] * jnp.einsum(
-            "cm,cmk->ck", kite_area * mesh.edgesOnCell_mask, kv)
+        ((kv_sum,),) = st.slot_reduce(
+            mesh.verticesOnCell,
+            [(ke_vertex, [kite_area * mesh.edgesOnCell_mask])])
+        ke = ke + (1.0 - ke_fact) * mesh.invAreaCell[None, :] * kv_sum
 
     out = dict(ke=ke, divergence=divergence, vorticity=vorticity, rho_edge=rho_edge)
 
     # tangential velocities (Thuburn et al JCP 2009)
     if reconstruct_v:
         if cell_form:
-            t_u = st.cell_tangential_col(mesh.tanWeights, gu_slots)
-            tu1, tu2 = st.edge_slot_pair_col(t_u, mesh.cellsOnEdge,
-                                             mesh.slotOnCell)
+            t_u = st.cell_tangential(mesh.tanWeights, gu_slots)
+            tu1, tu2 = st.edge_slot_pair(t_u, mesh.cellsOnEdge,
+                                         mesh.slotOnCell)
             out["v"] = tu1 + tu2
         else:
             out["v"] = st.edges_on_edge_sum(u, mesh.edgesOnEdge,
@@ -98,18 +100,20 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
                                             mesh.edgesOnEdge_mask)
 
     # potential vorticity at vertices and edges (dry: no 1/h factor)
-    pv_vertex = mesh.fVertex[:, None] + vorticity
+    pv_vertex = mesh.fVertex[None, :] + vorticity
     pv_edge = st.sum_vertices_to_edge(pv_vertex, mesh.verticesOnEdge)
 
     if apvm_upwinding > 0.0:
         # anticipated PV: advect pv_edge upstream by apvm*dt along the full
         # (normal u, tangential v) edge velocity
-        pvv = jnp.take(pv_vertex, mesh.verticesOnEdge, axis=0)   # [E, 2, K]
-        gradPVt = (pvv[:, 1] - pvv[:, 0]) / mesh.dvEdge[:, None]
-        pv_cell = mesh.invAreaCell[:, None] * jnp.einsum(
-            "cm,cmk->ck", kite_area * mesh.edgesOnCell_mask,
-            jnp.take(pv_vertex, mesh.verticesOnCell, axis=0))
-        gradPVn = st.diff_cell_to_edge(pv_cell, mesh.cellsOnEdge) / mesh.dcEdge[:, None]
+        pvv1 = jnp.take(pv_vertex, mesh.verticesOnEdge[:, 0], axis=1)
+        pvv2 = jnp.take(pv_vertex, mesh.verticesOnEdge[:, 1], axis=1)
+        gradPVt = (pvv2 - pvv1) / mesh.dvEdge[None, :]
+        ((pvc_sum,),) = st.slot_reduce(
+            mesh.verticesOnCell,
+            [(pv_vertex, [kite_area * mesh.edgesOnCell_mask])])
+        pv_cell = mesh.invAreaCell[None, :] * pvc_sum
+        gradPVn = st.diff_cell_to_edge(pv_cell, mesh.cellsOnEdge) / mesh.dcEdge[None, :]
         # When reconstruct_v=False (RK stages 1-2 in srk3), this reuses the
         # stage-0 tangential velocity state.v while u and pv are current-
         # stage.  Intentional: MPAS carries the same staleness (v is only
@@ -131,10 +135,10 @@ def reconstruct_velocity(u, mesh):
         mesh.edgesOnCell, [(u, [mesh.coeffs_reconstruct[..., 0],
                                 mesh.coeffs_reconstruct[..., 1],
                                 mesh.coeffs_reconstruct[..., 2]])])
-    clat = jnp.cos(mesh.latCell)[:, None]
-    slat = jnp.sin(mesh.latCell)[:, None]
-    clon = jnp.cos(mesh.lonCell)[:, None]
-    slon = jnp.sin(mesh.lonCell)[:, None]
+    clat = jnp.cos(mesh.latCell)[None, :]
+    slat = jnp.sin(mesh.latCell)[None, :]
+    clon = jnp.cos(mesh.lonCell)[None, :]
+    slon = jnp.sin(mesh.lonCell)[None, :]
     zonal = -ux * slon + uy * clon
     meridional = -(ux * clon + uy * slon) * slat + uz * clat
     return zonal, meridional
@@ -152,18 +156,14 @@ def init_coupled_diagnostics(state, static, mesh, vert):
     ru = st.avg_cell_to_edge(rho_zz, mesh.cellsOnEdge) * state.u
 
     # rw = rho*omega from w and ru (inverse of the recover procedure)
-    zz_i = st.interface_interp(static.zz, vert.fzm, vert.fzp)         # [C, K+1]
+    zz_i = st.interface_interp(static.zz, vert.fzm, vert.fzp)         # [K+1, C]
     rho_i = st.interface_interp(rho_zz, vert.fzm, vert.fzp)
     rw = state.w * rho_i * zz_i
 
     # subtract the sloping-coordinate metric transport
-    flux_e = st.interface_interp(ru, vert.fzm, vert.fzp)              # [E, K+1]
-    sgn = jnp.sign(flux_e)
-    fe = jnp.take(flux_e, mesh.edgesOnCell, axis=0)                   # [C, M, K+1]
-    se = jnp.take(sgn, mesh.edgesOnCell, axis=0)
-    zb_eff = static.zb_cell[:, :, :] + se * static.zb3_cell[:, :, :]
-    metric = jnp.einsum("cm,cmk->ck",
-                        mesh.edgesOnCellSign, zb_eff * fe)            # [C, K+1]
+    flux_e = st.interface_interp(ru, vert.fzm, vert.fzp)              # [K+1, E]
+    metric = st.zb_metric(flux_e, mesh.edgesOnCell, mesh.edgesOnCellSign,
+                          static.zb_cell, static.zb3_cell)            # [K+1, C]
     rw = rw - metric * zz_i
 
     rho_p = rho_zz - static.rho_base
@@ -180,7 +180,7 @@ def output_diagnostics(state, static):
     """rho, theta, full pressure for output (atm_compute_output_diagnostics,
     dynamics_tasks.rg:729-744)."""
     rho = state.rho_zz * static.zz
-    qv = state.scalars[..., 0] if state.scalars is not None else 0.0
+    qv = state.scalars[0] if state.scalars is not None else 0.0
     theta = state.theta_m / (1.0 + constants.rvord * qv)
     pressure = static.pressure_base + state.pressure_p
     return dict(rho=rho, theta=theta, pressure=pressure)

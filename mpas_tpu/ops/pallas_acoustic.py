@@ -113,8 +113,20 @@ def acoustic_column_update(rs0, ts0, ac_rho_pp, ac_rtheta_pp, ac_rw_p, wwAvg,
                            tend_rho, tend_rt, tend_w, coefs, zz, dss_i,
                            zz_rho_i, w, dw_save, dts: float, epssm: float,
                            block_c: int = 128, interpret: bool = False):
-    """Fused acoustic cell update.  All arrays [C, K] / [C, K+1]; returns
+    """Fused acoustic cell update.  Accepts the level-major [K, N] dycore
+    layout (core/state.py) and transposes at this boundary — the kernel
+    blocks are cell-major [BC, K] (K in lanes).  Returns level-major
     (rho_pp, rtheta_pp, rw_p, wwAvg)."""
+    t = lambda x: x.T
+    rs0, ts0 = t(rs0), t(ts0)
+    ac_rho_pp, ac_rtheta_pp = t(ac_rho_pp), t(ac_rtheta_pp)
+    ac_rw_p, wwAvg = t(ac_rw_p), t(wwAvg)
+    tend_rho, tend_rt, tend_w = t(tend_rho), t(tend_rt), t(tend_w)
+    zz, dss_i, zz_rho_i, w, dw_save = t(zz), t(dss_i), t(zz_rho_i), t(w), t(dw_save)
+    coefs = coefs.replace(
+        cofwr=t(coefs.cofwr), cofwz=t(coefs.cofwz), coftz=t(coefs.coftz),
+        cofwt=t(coefs.cofwt), a_tri=t(coefs.a_tri),
+        alpha_tri=t(coefs.alpha_tri), gamma_tri=t(coefs.gamma_tri))
     C, K = rs0.shape
     bc = min(block_c, C)
     grid = (pl.cdiv(C, bc),)
@@ -153,4 +165,4 @@ def acoustic_column_update(rs0, ts0, ac_rho_pp, ac_rtheta_pp, ac_rw_p, wwAvg,
       coefs.a_tri.astype(dtype), coefs.alpha_tri.astype(dtype),
       coefs.gamma_tri.astype(dtype),
       zz, dss_i, zz_rho_i, w, dw_save)
-    return out
+    return tuple(o.T for o in out)

@@ -6,6 +6,8 @@ atm_recover_large_step_variables (:1766-1887),
 atm_rk_dynamics_substep_finish (:1951-2007) and
 atm_compute_moist_coefficients (:460-502).
 
+All fields are level-major [K, N] (core/state.py).
+
 Reference defects corrected (SURVEY.md section 8):
   - ru = ru_save + ru_p (the reference multiplies, :1840);
   - the interface flux in the w recovery is fzm*ru(k) + fzp*ru(k-1) (the
@@ -31,15 +33,15 @@ from . import stencils as st
 class RKSave:
     """State snapshots taken at the top of each dynamics substep
     (atm_rk_integration_setup)."""
-    ru_save: Any        # [E, K]
-    u_2: Any            # [E, K]
-    rw_save: Any        # [C, K+1]
-    rtheta_p_save: Any  # [C, K]
-    rho_p_save: Any     # [C, K]
-    w_2: Any            # [C, K+1]
-    theta_m_save: Any   # [C, K] (theta_m_2)
-    rho_zz_2: Any       # [C, K]
-    rho_zz_old_split: Any  # [C, K]
+    ru_save: Any        # [K, E]
+    u_2: Any            # [K, E]
+    rw_save: Any        # [K+1, C]
+    rtheta_p_save: Any  # [K, C]
+    rho_p_save: Any     # [K, C]
+    w_2: Any            # [K+1, C]
+    theta_m_save: Any   # [K, C] (theta_m_2)
+    rho_zz_2: Any       # [K, C]
+    rho_zz_old_split: Any  # [K, C]
 
 
 def rk_integration_setup(state) -> RKSave:
@@ -61,9 +63,9 @@ def compute_moist_coefficients(state, mesh):
                              cqw=jnp.ones_like(state.cqw),
                              cqu=jnp.ones_like(state.cqu))
     # moist: sum water species (index 0 = qv by convention)
-    qtot = jnp.sum(state.scalars, axis=-1)
-    q_i = 0.5 * (qtot[:, 1:] + qtot[:, :-1])                 # interfaces 1..K-1
-    cqw = jnp.ones_like(qtot).at[:, 1:].set(1.0 / (1.0 + q_i))
+    qtot = jnp.sum(state.scalars, axis=0)                    # [K, C]
+    q_i = 0.5 * (qtot[1:] + qtot[:-1])                       # interfaces 1..K-1
+    cqw = jnp.ones_like(qtot).at[1:].set(1.0 / (1.0 + q_i))
     q1, q2 = st.edge_pair(qtot, mesh.cellsOnEdge)
     cqu = 1.0 / (1.0 + 0.5 * (q1 + q2))
     return state.replace(qtot=qtot, cqw=cqw, cqu=cqu)
@@ -76,15 +78,15 @@ def set_smlstep_pert_variables(tend, static, mesh, vert, nl=None):
     couple with zz at interfaces.  Regional runs gate the conversion to
     cells with bdyMaskCell <= nRelaxZone, exactly like the reference's
     per-cell branch (:1517)."""
-    C, Kp1 = tend.tend_w.shape
-    flux_e = st.interface_interp(tend.tend_u, vert.fzm, vert.fzp)    # [E, K+1]
+    Kp1 = tend.tend_w.shape[0]
+    flux_e = st.interface_interp(tend.tend_u, vert.fzm, vert.fzp)    # [K+1, E]
     metric = st.zb_metric(flux_e, mesh.edgesOnCell, mesh.edgesOnCellSign,
                           static.zb_cell, static.zb3_cell)
     zz_i = st.interface_interp(static.zz, vert.fzm, vert.fzp)
     tend_w = (tend.tend_w - metric) * zz_i
-    tend_w = tend_w.at[:, 0].set(0.0).at[:, Kp1 - 1].set(0.0)
+    tend_w = tend_w.at[0].set(0.0).at[Kp1 - 1].set(0.0)
     if nl is not None and nl.config_apply_lbcs:
-        upd = (mesh.bdyMaskCell <= nl.nRelaxZone)[:, None]
+        upd = (mesh.bdyMaskCell <= nl.nRelaxZone)[None, :]
         tend_w = jnp.where(upd, tend_w, tend.tend_w)
     return tend.replace(tend_w=tend_w)
 
@@ -93,7 +95,7 @@ def recover_large_step_variables(state, ac, ruAvg, wwAvg, save, static, mesh,
                                  vert, nl, ns: int, rk_step: int, dt):
     """Recover full prognostic state from the acoustic perturbations
     (atm_recover_large_step_variables, dynamics_tasks.rg:1766-1887)."""
-    C, K = state.theta_m.shape
+    K, C = state.theta_m.shape
     rgas, cp, p0 = constants.rgas, constants.cp, constants.p0
     rcv = constants.rcv
     fzm, fzp = vert.fzm, vert.fzp
@@ -124,32 +126,32 @@ def recover_large_step_variables(state, ac, ruAvg, wwAvg, save, static, mesh,
     u = 2.0 * ru / (rz1 + rz2)
 
     # --- diagnose w from rho*omega (Klemp et al 2003 flux-divergence form) ---
-    zz_i = st.interface_interp(static.zz, fzm, fzp)                  # [C, K+1]
+    zz_i = st.interface_interp(static.zz, fzm, fzp)                  # [K+1, C]
     w = jnp.zeros_like(rw)
-    w = w.at[:, 1:K].set(rw[:, 1:K] / zz_i[:, 1:K])
+    w = w.at[1:K].set(rw[1:K] / zz_i[1:K])
 
     # edge fluxes: surface via cf1..3 extrapolation, interior via fzm/fzp
-    flux_e = st.interface_interp(ru, fzm, fzp)                       # [E, K+1]
-    flux_sfc = vert.cf1 * ru[:, 0] + vert.cf2 * ru[:, 1] + vert.cf3 * ru[:, 2]
-    flux_e = flux_e.at[:, 0].set(flux_sfc)
+    flux_e = st.interface_interp(ru, fzm, fzp)                       # [K+1, E]
+    flux_sfc = vert.cf1 * ru[0] + vert.cf2 * ru[1] + vert.cf3 * ru[2]
+    flux_e = flux_e.at[0].set(flux_sfc)
 
     metric = st.zb_metric(flux_e, mesh.edgesOnCell, mesh.edgesOnCellSign,
                           static.zb_cell, static.zb3_cell)
     w = w + metric                                                   # adds surface row too
 
     rho_i = st.interface_interp(rho_zz, fzm, fzp)
-    rho_sfc = (vert.cf1 * rho_zz[:, 0] + vert.cf2 * rho_zz[:, 1]
-               + vert.cf3 * rho_zz[:, 2])
-    w = w.at[:, 0].set(w[:, 0] / rho_sfc)
-    w = w.at[:, 1:K].set(w[:, 1:K] / rho_i[:, 1:K])
-    w = w.at[:, K].set(0.0)
+    rho_sfc = (vert.cf1 * rho_zz[0] + vert.cf2 * rho_zz[1]
+               + vert.cf3 * rho_zz[2])
+    w = w.at[0].set(w[0] / rho_sfc)
+    w = w.at[1:K].set(w[1:K] / rho_i[1:K])
+    w = w.at[K].set(0.0)
 
     if nl.config_apply_lbcs:
         # specified (LBC) zone: prognostics are held, not integrated — the
         # lateral-boundary reader replaces them between steps (the bdyMask
         # scaffolding of dynamics_tasks.rg:1503-1538; MPAS regional zones)
-        spec_c = (mesh.bdyMaskCell > nl.nRelaxZone)[:, None]
-        spec_e = (mesh.bdyMaskEdge > nl.nRelaxZone)[:, None]
+        spec_c = (mesh.bdyMaskCell > nl.nRelaxZone)[None, :]
+        spec_e = (mesh.bdyMaskEdge > nl.nRelaxZone)[None, :]
         hold = lambda new, old, m: jnp.where(m, old, new)
         u = hold(u, state.u, spec_e)
         ru = hold(ru, state.ru, spec_e)

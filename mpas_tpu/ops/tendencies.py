@@ -8,11 +8,12 @@ gradient, curvature, del2/del4 mixing, Rayleigh damping), W section
 buoyancy), THETA section (flux-form advection, perturbation flux, mixing,
 vertical advection, diabatic coupling).
 
-TPU performance structure: row gathers are latency-bound per row (~5 ns/row
-on v5e regardless of row width up to 128 lanes — tools/layout_study.py), so
-every gather here is PACKED: fields sharing an index array are concatenated
-along the minor axis and gathered once (st.take_packed).  The pack groups
-below cut the step's gather-row count roughly in half.
+TPU performance structure (round-3 layout, core/state.py): every field is
+level-major [K, N] with the horizontal index in the lane dimension, so each
+stencil slot is a ~2 ns/column lane gather from a narrow table, and fields
+sharing an index vector STACK along the level axis and gather together
+(st.take_packed / st.slot_reduce) — 3 stacked fields cost ~1.15x one field.
+The pack groups below cut the step's gather count roughly in half.
 
 Reference defects corrected (SURVEY.md section 8):
   - separate tend_w / per-edge flux temporaries instead of the reference's
@@ -47,24 +48,24 @@ _DEBUG_DISABLE = set()
 
 @struct.dataclass
 class Tend:
-    tend_u: Any          # [E, K]
-    tend_w: Any          # [C, K+1]
-    tend_theta: Any      # [C, K]
-    tend_rho: Any        # [C, K]
-    h_divergence: Any    # [C, K]
+    tend_u: Any          # [K, E]
+    tend_w: Any          # [K+1, C]
+    tend_theta: Any      # [K, C]
+    tend_rho: Any        # [K, C]
+    h_divergence: Any    # [K, C]
     # rk_step-0 caches reused on later RK steps
-    tend_u_euler: Any    # [E, K]
-    tend_w_euler: Any    # [C, K+1]
-    tend_theta_euler: Any  # [C, K]
-    kdiff: Any           # [C, K]
-    dpdz: Any            # [C, K]
+    tend_u_euler: Any    # [K, E]
+    tend_w_euler: Any    # [K+1, C]
+    tend_theta_euler: Any  # [K, C]
+    kdiff: Any           # [K, C]
+    dpdz: Any            # [K, C]
     # diagnostics for physics couplings
-    rthdynten: Any       # [C, K]
+    rthdynten: Any       # [K, C]
 
 
 def _smagorinsky_kdiff(state, mesh, nl, invDt):
     """Horizontal Smagorinsky eddy viscosity (dynamics_tasks.rg:858-916);
-    one packed [C, M] gather serves u and v."""
+    one stacked [C, M]-slot gather serves u and v."""
     (ua, ub), (vb, va) = st.slot_reduce(
         mesh.edgesOnCell, [(state.u, [mesh.defc_a, mesh.defc_b]),
                            (state.v, [mesh.defc_b, mesh.defc_a])])
@@ -76,16 +77,16 @@ def _smagorinsky_kdiff(state, mesh, nl, invDt):
                         0.01 * ld ** 2 * invDt)
     if nl.config_mpas_cam_coef > 0.0:
         # 2nd-order filter floor in the top 3 levels (CAM-SE style)
-        K = kdiff.shape[1]
+        K = kdiff.shape[0]
         base = 2.0833 * ld * nl.config_mpas_cam_coef
         floor = jnp.zeros(K).at[K - 3].set(base).at[K - 2].set(2 * base).at[K - 1].set(4 * base)
-        kdiff = jnp.maximum(kdiff, floor[None, :])
+        kdiff = jnp.maximum(kdiff, floor[:, None])
     return kdiff
 
 
 def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
                      dt: float, prev: Tend | None = None) -> Tend:
-    C, K = state.theta_m.shape
+    K, C = state.theta_m.shape
     fzm, fzp, rdzw, rdzu = vert.fzm, vert.fzp, vert.rdzw, vert.rdzu
     coe = mesh.cellsOnEdge
     eoc = mesh.edgesOnCell
@@ -106,48 +107,43 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
         kdiff0 = (jnp.zeros_like(state.theta_m)
                   if nl.config_horiz_mixing == "2d_fixed"
                   else _smagorinsky_kdiff(state, mesh, nl, invDt))
+        zero_row_c = jnp.zeros((1, C), kdiff0.dtype)
         kdiff_i = jnp.concatenate(
-            [jnp.zeros((C, 1), kdiff0.dtype),
-             0.5 * (kdiff0[:, 1:] + kdiff0[:, :-1]),
-             jnp.zeros((C, 1), kdiff0.dtype)], axis=1)                 # [C, K+1]
-        # mass-level pack (5 x K lanes); dpdz/h_divergence of THIS call are
+            [zero_row_c, 0.5 * (kdiff0[1:] + kdiff0[:-1]), zero_row_c],
+            axis=0)                                                    # [K+1, C]
+        # mass+interface stacked pack; dpdz/h_divergence of THIS call are
         # not yet known at this point, so gather the rk0-only mixing inputs
         # here and the dpdz/hd pair below with the flux pack
-        ((pp1, pp2), (ke1, ke2), (tm1, tm2),
-         (div1, div2), (kd1, kd2)) = st.edge_pairs(
+        ((pp1, pp2), (ke1, ke2), (tm1, tm2), (div1, div2), (kd1, kd2),
+         (w1, w2), (rw1, rw2), (kdi1, kdi2)) = st.edge_pairs(
             coe, state.pressure_p, state.ke, state.theta_m,
-            state.divergence, kdiff0)
-        # interface-level pack (3 x (K+1) lanes)
-        (w1, w2), (rw1, rw2), (kdi1, kdi2) = st.edge_pairs(
-            coe, state.w, state.rw, kdiff_i)
+            state.divergence, kdiff0, state.w, state.rw, kdiff_i)
     else:
-        (pp1, pp2), (ke1, ke2), (tm1, tm2) = st.edge_pairs(
-            coe, state.pressure_p, state.ke, state.theta_m)
-        (w1, w2), (rw1, rw2) = st.edge_pairs(coe, state.w, state.rw)
-    rw_e = 0.5 * (rw1 + rw2)                                           # [E, K+1]
+        ((pp1, pp2), (ke1, ke2), (tm1, tm2), (w1, w2),
+         (rw1, rw2)) = st.edge_pairs(
+            coe, state.pressure_p, state.ke, state.theta_m, state.w, state.rw)
+    rw_e = 0.5 * (rw1 + rw2)                                           # [K+1, E]
 
     # ---- horizontal 3rd-order advective edge values ----
-    ru_edge_w = st.interface_interp(state.ru, fzm, fzp)                # [E, K+1]
+    ru_edge_w = st.interface_interp(state.ru, fzm, fzp)                # [K+1, E]
     if cell_form:
         # cell-form: per-cell directional Hessians + flat slot gathers
-        # (identical arithmetic to adv_coefs . q, ~5x fewer gather rows),
-        # column-form (slot-wise axis-1 gathers, no [C*M, K] relayout)
-        Dc_t, Dc_w = st.dir_second_deriv_col(mesh.dirHess, mesh.cellsOnCell,
-                                             state.theta_m, state.w)
-        D1t, D2t = st.edge_slot_pair_col(Dc_t, coe, mesh.slotOnCell)
-        D1w, D2w = st.edge_slot_pair_col(Dc_w, coe, mesh.slotOnCell)
-        adv_scale = (mesh.dvEdge * mesh.dcEdge ** 2 / 12.0)[:, None]   # [E, 1]
+        # (identical arithmetic to adv_coefs . q, ~5x fewer gather columns)
+        Dc_t, Dc_w = st.dir_second_deriv(mesh.dirHess, mesh.cellsOnCell,
+                                         state.theta_m, state.w)
+        D1t, D2t = st.edge_slot_pair(Dc_t, coe, mesh.slotOnCell)
+        D1w, D2w = st.edge_slot_pair(Dc_w, coe, mesh.slotOnCell)
+        adv_scale = (mesh.dvEdge * mesh.dcEdge ** 2 / 12.0)[None, :]   # [1, E]
         c3 = nl.config_coef_3rd_order
-        flux_arr_t = (0.5 * mesh.dvEdge[:, None] * (tm1 + tm2)
+        flux_arr_t = (0.5 * mesh.dvEdge[None, :] * (tm1 + tm2)
                       - adv_scale * ((D1t + D2t)
                                      + jnp.sign(state.ru) * c3 * (D1t - D2t)))
-        flux_arr_w = (0.5 * mesh.dvEdge[:, None] * (w1 + w2)
+        flux_arr_w = (0.5 * mesh.dvEdge[None, :] * (w1 + w2)
                       - adv_scale * ((D1w + D2w)
                                      + jnp.sign(ru_edge_w) * c3 * (D1w - D2w)))
     else:
-        # stencil form: column-form advCellsForEdge slot reductions (narrow
-        # [K, C] tables gather at ~2 ns/index vs ~11 ns for the cell-form
-        # [K, M*C] slot-pair reads — see docs/PERF.md)
+        # stencil form: advCellsForEdge slot reductions over narrow [K, C]
+        # tables (~2 ns per gathered column — see docs/PERF.md)
         ((bt, tt), (bw, tw)) = st.slot_reduce(
             mesh.advCellsForEdge,
             [(state.theta_m, [mesh.adv_coefs, mesh.adv_coefs_3rd]),
@@ -158,13 +154,13 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     # ---- perturbation theta flux needs theta_m_save edge values first ----
     if rk_step > 0:
         (ts1, ts2), = st.edge_pairs(coe, save.theta_m_save)
-        pert = (save.ru_save - state.ru) * 0.5 * (ts1 + ts2)           # [E, K]
+        pert = (save.ru_save - state.ru) * 0.5 * (ts1 + ts2)           # [K, E]
 
-    # ---- main edge->cell sums (column-form slot reductions); the
-    # cell-form Coriolis/tangential inputs (u, u*pv_edge) are slot-gathered
-    # with the same index ----
-    flux_w_e = ru_edge_w * flux_arr_w                                  # [E, K+1]
-    flux_t_e = state.ru * flux_arr_t                                   # [E, K]
+    # ---- main edge->cell sums (stacked slot reductions); the cell-form
+    # Coriolis/tangential inputs (u, u*pv_edge) are slot-gathered with the
+    # same index ----
+    flux_w_e = ru_edge_w * flux_arr_w                                  # [K+1, E]
+    flux_t_e = state.ru * flux_arr_t                                   # [K, E]
     specs = [(state.ru, [sign_dv]), (flux_w_e, [sign_only]),
              (flux_t_e, [sign_only])]
     has_pert = rk_step > 0 and "theta_pert_flux" not in _DEBUG_DISABLE
@@ -175,14 +171,14 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     if cell_form:
         gu_slots = st.slot_gather(eoc, state.u)
         gupv_slots = st.slot_gather(eoc, state.u * state.pv_edge)
-    h_divergence = red[0][0] * mesh.invAreaCell[:, None]
-    tend_w = -red[1][0]                                                # [C, K+1]
-    tend_theta = -red[2][0]                                            # [C, K]
+    h_divergence = red[0][0] * mesh.invAreaCell[None, :]
+    tend_w = -red[1][0]                                                # [K+1, C]
+    tend_theta = -red[2][0]                                            # [K, C]
     if pert_sum is not None:
         tend_theta = tend_theta - pert_sum
 
     if rk_step == 0:
-        tend_rho = (-h_divergence - rdzw[None, :] * st.delta(state.rw)
+        tend_rho = (-h_divergence - rdzw[:, None] * st.delta(state.rw)
                     + state.tend_rho_physics)
         dpdz = -constants.gravity * (static.rho_base * state.qtot
                                      + save.rho_p_save * (1.0 + state.qtot))
@@ -212,25 +208,25 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     # =================== U section ===================
     if rk_step == 0:
         tend_u_euler = -state.cqu * (
-            (pp2 - pp1) * mesh.invDcEdge[:, None] / (0.5 * (zz1 + zz2))
+            (pp2 - pp1) * mesh.invDcEdge[None, :] / (0.5 * (zz1 + zz2))
             - 0.5 * static.zxu * (dpdz1 + dpdz2))
     else:
         tend_u_euler = prev.tend_u_euler
 
     # vertical transport of u
     wduz = st.vflux_mass_to_iface(state.u, rw_e, fzm, fzp, 1.0)
-    tend_u = -rdzw[None, :] * st.delta(wduz)
+    tend_u = -rdzw[:, None] * st.delta(wduz)
 
     # nonlinear Coriolis / PV flux (Ringler et al JCP 2009):
     #   q[e] = sum_w W[e,w] * u[eoe] * 0.5*(pv[e] + pv[eoe])
     if cell_form:
         # split as 0.5*pv[e]*(sum W u) + 0.5*(sum W u*pv): both sums come
         # from the per-cell tangential matrices applied to the slot-gathered
-        # u / u*pv values, read back per edge by column-form slot gathers
-        t_u = st.cell_tangential_col(mesh.tanWeights, gu_slots)
-        t_upv = st.cell_tangential_col(mesh.tanWeights, gupv_slots)
-        tu1, tu2 = st.edge_slot_pair_col(t_u, coe, mesh.slotOnCell)
-        tupv1, tupv2 = st.edge_slot_pair_col(t_upv, coe, mesh.slotOnCell)
+        # u / u*pv values, read back per edge by slot-pair gathers
+        t_u = st.cell_tangential(mesh.tanWeights, gu_slots)
+        t_upv = st.cell_tangential(mesh.tanWeights, gupv_slots)
+        tu1, tu2 = st.edge_slot_pair(t_u, coe, mesh.slotOnCell)
+        tupv1, tupv2 = st.edge_slot_pair(t_upv, coe, mesh.slotOnCell)
         q = 0.5 * state.pv_edge * (tu1 + tu2) + 0.5 * (tupv1 + tupv2)
     else:
         # u and u*pv share the edgesOnEdge slot gathers; the 0.5*(pv_e +
@@ -248,69 +244,71 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
         ke1 = ke2 = ke1 * 0.0
     if "hdiv_u" in _DEBUG_DISABLE:
         hd1 = hd2 = hd1 * 0.0
-    tend_u = tend_u + state.rho_edge * (q - (ke2 - ke1) * mesh.invDcEdge[:, None]) \
+    tend_u = tend_u + state.rho_edge * (q - (ke2 - ke1) * mesh.invDcEdge[None, :]) \
         - state.u * 0.5 * (hd1 + hd2)
 
     # curvature terms for the sphere (dynamics_tasks.rg:1009-1018)
     if nl.config_curvature:
-        w_avg = 0.25 * (w1[:, :-1] + w1[:, 1:] + w2[:, :-1] + w2[:, 1:])  # [E, K]
+        w_avg = 0.25 * (w1[:-1] + w1[1:] + w2[:-1] + w2[1:])           # [K, E]
         tend_u = tend_u - (2.0 * constants.omega * jnp.cos(mesh.angleEdge)
-                           * jnp.cos(mesh.latEdge))[:, None] * state.rho_edge * w_avg \
+                           * jnp.cos(mesh.latEdge))[None, :] * state.rho_edge * w_avg \
             - state.u * w_avg * state.rho_edge * inv_r_earth
 
     # ---- horizontal/vertical mixing for u (first RK step only) ----
     if rk_step == 0:
         # del^2 u as grad(divergence) - curl(vorticity)
-        vort = jnp.take(state.vorticity, mesh.verticesOnEdge, axis=0)  # [E, 2, K]
-        r_dc = mesh.invDcEdge[:, None]
-        r_dv = jnp.minimum(mesh.invDvEdge, 4.0 * mesh.invDcEdge)[:, None]
-        u_diffusion = (div2 - div1) * r_dc - (vort[:, 1] - vort[:, 0]) * r_dv
+        vort1 = jnp.take(state.vorticity, mesh.verticesOnEdge[:, 0], axis=1)
+        vort2 = jnp.take(state.vorticity, mesh.verticesOnEdge[:, 1], axis=1)
+        r_dc = mesh.invDcEdge[None, :]
+        r_dv = jnp.minimum(mesh.invDvEdge, 4.0 * mesh.invDcEdge)[None, :]
+        u_diffusion = (div2 - div1) * r_dc - (vort2 - vort1) * r_dv
         delsq_u = u_diffusion
         tend_u_euler = tend_u_euler + (state.rho_edge * 0.5 * (kd1 + kd2)
-                                       * u_diffusion * mesh.meshScalingDel2[:, None])
+                                       * u_diffusion * mesh.meshScalingDel2[None, :])
 
-        # ---- mixing edge fields: one packed [C, M] gather serves the del^2
-        # sums for u, w and theta plus their kdiff-scaled variants ----
+        # ---- mixing edge fields: one stacked [C, M]-slot gather serves the
+        # del^2 sums for u, w and theta plus their kdiff-scaled variants ----
         # MPAS uses (rho_edge(k) + rho_edge(k-1)), i.e. a plain sum at the
         # interface, not fzm/fzp weights:
+        zero_row_e = jnp.zeros((1, state.rho_edge.shape[1]), state.rho_edge.dtype)
         rho_sum = jnp.concatenate(
-            [jnp.zeros((state.rho_edge.shape[0], 1), state.rho_edge.dtype),
-             state.rho_edge[:, 1:] + state.rho_edge[:, :-1],
-             jnp.zeros((state.rho_edge.shape[0], 1), state.rho_edge.dtype)], axis=1)
+            [zero_row_e, state.rho_edge[1:] + state.rho_edge[:-1], zero_row_e],
+            axis=0)
         edge_sign_w = (0.5 * mesh.invAreaCell[:, None] * sign_dv
                        * jnp.take(mesh.invDcEdge, eoc))                # [C, M]
-        w_turb = rho_sum * (w2 - w1)                                   # [E, K+1]
-        kd_e = 0.5 * (kdi1 + kdi2)             # 0.25*(4 cell terms) [E, K+1]
-        w_turb_k = w_turb * kd_e * mesh.meshScalingDel2[:, None]
+        w_turb = rho_sum * (w2 - w1)                                   # [K+1, E]
+        kd_e = 0.5 * (kdi1 + kdi2)             # 0.25*(4 cell terms) [K+1, E]
+        w_turb_k = w_turb * kd_e * mesh.meshScalingDel2[None, :]
 
         edge_sign_t = (mesh.invAreaCell[:, None] * sign_dv
                        * jnp.take(mesh.invDcEdge, eoc))                # [C, M]
-        theta_turb = (tm2 - tm1) * state.rho_edge                      # [E, K]
+        theta_turb = (tm2 - tm1) * state.rho_edge                      # [K, E]
         kd_e2 = 0.5 * (kd1 + kd2)
-        theta_turb_k = theta_turb * kd_e2 * (prandtl_inv * mesh.meshScalingDel2[:, None])
+        theta_turb_k = theta_turb * kd_e2 * (prandtl_inv * mesh.meshScalingDel2[None, :])
 
         ((delsq_w,), (tend_w_euler,), (delsq_theta,), (tend_theta_euler,),
          (du_sum,)) = st.slot_reduce(
             eoc, [(w_turb, [edge_sign_w]), (w_turb_k, [edge_sign_w]),
                   (theta_turb, [edge_sign_t]), (theta_turb_k, [edge_sign_t]),
                   (delsq_u, [sign_dv])])
-        delsq_divergence = du_sum * mesh.invAreaCell[:, None]
+        delsq_divergence = du_sum * mesh.invAreaCell[None, :]
 
         # del^4 = del^2(del^2); the u/w parts carry the h_mom factor and the
         # theta part the h_theta factor, so a zero coefficient contributes 0
         if h_mom_eddy_visc4 > 0.0 or h_theta_eddy_visc4 > 0.0:
             w_vort = mesh.edgesOnVertexSign * jnp.take(mesh.dcEdge, mesh.edgesOnVertex)
             delsq_vorticity = (st.sum_edges_to_vertex(delsq_u, mesh.edgesOnVertex, w_vort)
-                               * mesh.invAreaTriangle[:, None])
-            dv_v = jnp.take(delsq_vorticity, mesh.verticesOnEdge, axis=0)
-            # delsq cell fields: one packed edge-pair gather
+                               * mesh.invAreaTriangle[None, :])
+            dv_v1 = jnp.take(delsq_vorticity, mesh.verticesOnEdge[:, 0], axis=1)
+            dv_v2 = jnp.take(delsq_vorticity, mesh.verticesOnEdge[:, 1], axis=1)
+            # delsq cell fields: one stacked edge-pair gather
             ((dd1, dd2), (dw1, dw2), (dt1, dt2)) = st.edge_pairs(
                 coe, delsq_divergence, delsq_w, delsq_theta)
-            u_mix_scale = mesh.meshScalingDel4[:, None] * h_mom_eddy_visc4
-            r_dc4 = u_mix_scale * nl.config_del4u_div_factor * mesh.invDcEdge[:, None]
-            r_dv4 = u_mix_scale * jnp.minimum(mesh.invDvEdge, 4.0 * mesh.invDcEdge)[:, None]
+            u_mix_scale = mesh.meshScalingDel4[None, :] * h_mom_eddy_visc4
+            r_dc4 = u_mix_scale * nl.config_del4u_div_factor * mesh.invDcEdge[None, :]
+            r_dv4 = u_mix_scale * jnp.minimum(mesh.invDvEdge, 4.0 * mesh.invDcEdge)[None, :]
             u_diffusion4 = state.rho_edge * ((dd2 - dd1) * r_dc4
-                                             - (dv_v[:, 1] - dv_v[:, 0]) * r_dv4)
+                                             - (dv_v2 - dv_v1) * r_dv4)
             tend_u_euler = tend_u_euler - u_diffusion4
 
             # del^4 for w and theta: pack their difference fields
@@ -326,21 +324,21 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
 
         # vertical 2nd-order mixing of u (perturbation form by default)
         if nl.config_v_mom_eddy_visc2 > 0.0:
-            zg1 = jnp.take(static.zgrid, coe[:, 0], axis=0)            # [E, K+1]
-            zg2 = jnp.take(static.zgrid, coe[:, 1], axis=0)
+            zg1 = jnp.take(static.zgrid, coe[:, 0], axis=1)            # [K+1, E]
+            zg2 = jnp.take(static.zgrid, coe[:, 1], axis=1)
             z_edge = 0.5 * (zg1 + zg2)                                 # interfaces
-            zmid = 0.5 * (z_edge[:, :-1] + z_edge[:, 1:])              # mass levels
+            zmid = 0.5 * (z_edge[:-1] + z_edge[1:])                    # mass levels
             if nl.config_mix_full:
                 um = state.u
             else:
-                um = state.u - (vert.u_init[None, :] * jnp.cos(mesh.angleEdge)[:, None]
-                                + vert.v_init[None, :] * jnp.sin(mesh.angleEdge)[:, None])
-            dzp = zmid[:, 2:] - zmid[:, 1:-1]
-            dzm = zmid[:, 1:-1] - zmid[:, :-2]
-            mix = (nl.config_v_mom_eddy_visc2 * state.rho_edge[:, 1:-1]
-                   * ((um[:, 2:] - um[:, 1:-1]) / dzp
-                      - (um[:, 1:-1] - um[:, :-2]) / dzm) / (0.5 * (dzp + dzm)))
-            tend_u_euler = tend_u_euler.at[:, 1:-1].add(mix)
+                um = state.u - (vert.u_init[:, None] * jnp.cos(mesh.angleEdge)[None, :]
+                                + vert.v_init[:, None] * jnp.sin(mesh.angleEdge)[None, :])
+            dzp = zmid[2:] - zmid[1:-1]
+            dzm = zmid[1:-1] - zmid[:-2]
+            mix = (nl.config_v_mom_eddy_visc2 * state.rho_edge[1:-1]
+                   * ((um[2:] - um[1:-1]) / dzp
+                      - (um[1:-1] - um[:-2]) / dzm) / (0.5 * (dzp + dzm)))
+            tend_u_euler = tend_u_euler.at[1:-1].add(mix)
     else:
         tend_u_euler = prev.tend_u_euler
         tend_w_euler = prev.tend_w_euler
@@ -353,70 +351,70 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
                        * constants.seconds_per_day)
         lev = jnp.arange(K)
         coef = jnp.maximum(0.0, (lev - (K - ndamp) + 1.0)) * rcoef
-        tend_u = tend_u - state.rho_edge * state.u * coef[None, :]
+        tend_u = tend_u - state.rho_edge * state.u * coef[:, None]
 
     tend_u = tend_u + tend_u_euler + state.tend_ru_physics
 
     # =================== W section ===================
-    zero_col = jnp.zeros((C, 1), tend_w.dtype)
+    zero_row = jnp.zeros((1, C), tend_w.dtype)
 
     # vertical advection of w
-    wdwz = st.vflux_iface_to_mass(state.w, state.rw, 1.0)              # [C, K]
-    d_wdwz = jnp.concatenate([zero_col, st.delta(wdwz), zero_col], axis=1)  # [C, K+1]
-    tend_w = tend_w * mesh.invAreaCell[:, None] - rdzu[None, :] * d_wdwz
+    wdwz = st.vflux_iface_to_mass(state.w, state.rw, 1.0)              # [K, C]
+    d_wdwz = jnp.concatenate([zero_row, st.delta(wdwz), zero_row], axis=0)  # [K+1, C]
+    tend_w = tend_w * mesh.invAreaCell[None, :] - rdzu[:, None] * d_wdwz
 
     # curvature terms — pointwise forces, added after the flux-divergence
     # normalization (the reference adds them before the invAreaCell multiply,
     # dynamics_tasks.rg:1208-1218 vs :1292, which scales them to nothing)
     if nl.config_curvature:
-        rho_i = st.interface_interp(state.rho_zz, fzm, fzp)            # [C, K+1]
+        rho_i = st.interface_interp(state.rho_zz, fzm, fzp)            # [K+1, C]
         ur_i = st.interface_interp(state.uReconstructZonal, fzm, fzp)
         vr_i = st.interface_interp(state.uReconstructMeridional, fzm, fzp)
         curv = (rho_i * (ur_i ** 2 + vr_i ** 2) * inv_r_earth
-                + 2.0 * constants.omega * jnp.cos(mesh.latCell)[:, None] * ur_i * rho_i)
+                + 2.0 * constants.omega * jnp.cos(mesh.latCell)[None, :] * ur_i * rho_i)
         tend_w = tend_w + curv
 
     if rk_step == 0:
         # pressure gradient + buoyancy (dpdz) for w
-        dpp = jnp.concatenate([zero_col, st.delta(state.pressure_p), zero_col], axis=1)
+        dpp = jnp.concatenate([zero_row, st.delta(state.pressure_p), zero_row], axis=0)
         dpdz_i = st.interface_interp(dpdz, fzm, fzp)
-        cqw_i = jnp.concatenate([zero_col, state.cqw[:, 1:], zero_col], axis=1)
-        tend_w_euler = tend_w_euler - cqw_i * (rdzu[None, :] * dpp - dpdz_i)
+        cqw_i = jnp.concatenate([zero_row, state.cqw[1:], zero_row], axis=0)
+        tend_w_euler = tend_w_euler - cqw_i * (rdzu[:, None] * dpp - dpdz_i)
 
         if nl.config_v_mom_eddy_visc2 > 0.0:
-            rho_sum_c = state.rho_zz[:, 1:] + state.rho_zz[:, :-1]     # [C, K-1]
-            d_up = (state.w[:, 2:] - state.w[:, 1:-1]) * rdzw[None, 1:]
-            d_dn = (state.w[:, 1:-1] - state.w[:, :-2]) * rdzw[None, :-1]
+            rho_sum_c = state.rho_zz[1:] + state.rho_zz[:-1]           # [K-1, C]
+            d_up = (state.w[2:] - state.w[1:-1]) * rdzw[1:, None]
+            d_dn = (state.w[1:-1] - state.w[:-2]) * rdzw[:-1, None]
             mixw = (nl.config_v_mom_eddy_visc2 * rho_sum_c * 0.5
-                    * (d_up - d_dn) * rdzu[None, 1:K])
-            tend_w_euler = tend_w_euler.at[:, 1:K].add(mixw)
+                    * (d_up - d_dn) * rdzu[1:K, None])
+            tend_w_euler = tend_w_euler.at[1:K].add(mixw)
 
     tend_w = tend_w + tend_w_euler
     # w is prognosed on interior interfaces only
-    tend_w = tend_w.at[:, 0].set(0.0).at[:, K].set(0.0)
+    tend_w = tend_w.at[0].set(0.0).at[K].set(0.0)
 
     # =================== THETA section ===================
     if rk_step == 0:
         if nl.config_v_theta_eddy_visc2 > 0.0:
             tm = state.theta_m if nl.config_mix_full else state.theta_m - static.t_init
-            zmid_c = 0.5 * (static.zgrid[:, :-1] + static.zgrid[:, 1:])
-            dzp = zmid_c[:, 2:] - zmid_c[:, 1:-1]
-            dzm = zmid_c[:, 1:-1] - zmid_c[:, :-2]
-            mixt = (nl.config_v_theta_eddy_visc2 * prandtl_inv * state.rho_zz[:, 1:-1]
-                    * ((tm[:, 2:] - tm[:, 1:-1]) / dzp
-                       - (tm[:, 1:-1] - tm[:, :-2]) / dzm) / (0.5 * (dzp + dzm)))
-            tend_theta_euler = tend_theta_euler.at[:, 1:-1].add(mixt)
+            zmid_c = 0.5 * (static.zgrid[:-1] + static.zgrid[1:])
+            dzp = zmid_c[2:] - zmid_c[1:-1]
+            dzm = zmid_c[1:-1] - zmid_c[:-2]
+            mixt = (nl.config_v_theta_eddy_visc2 * prandtl_inv * state.rho_zz[1:-1]
+                    * ((tm[2:] - tm[1:-1]) / dzp
+                       - (tm[1:-1] - tm[:-2]) / dzm) / (0.5 * (dzp + dzm)))
+            tend_theta_euler = tend_theta_euler.at[1:-1].add(mixt)
 
     # vertical advection + acoustic-consistency correction (wdtz)
     wdtz = st.vflux_mass_to_iface(state.theta_m, state.rw, fzm, fzp,
-                                  nl.config_coef_3rd_order)            # [C, K+1]
+                                  nl.config_coef_3rd_order)            # [K+1, C]
     theta_save_i = st.interface_interp(save.theta_m_save, fzm, fzp)
     if "wdtz_corr" not in _DEBUG_DISABLE:
         wdtz = wdtz + (save.rw_save - state.rw) * theta_save_i
     # top interface K-1 uses the pure save form (rtheta_pp redefinition)
-    wdtz = wdtz.at[:, K - 1].set(save.rw_save[:, K - 1] * theta_save_i[:, K - 1])
+    wdtz = wdtz.at[K - 1].set(save.rw_save[K - 1] * theta_save_i[K - 1])
 
-    tend_theta = tend_theta * mesh.invAreaCell[:, None] - rdzw[None, :] * st.delta(wdtz)
+    tend_theta = tend_theta * mesh.invAreaCell[None, :] - rdzw[:, None] * st.delta(wdtz)
     rthdynten = tend_theta / state.rho_zz
     tend_theta = tend_theta + state.rho_zz * state.rt_diabatic_tend
     tend_theta = tend_theta + tend_theta_euler + state.tend_rtheta_physics

@@ -54,34 +54,38 @@ class HaloExchange:
         self.axis = axis_name
 
     def _exchange(self, x, tbl: ExchangeArrays):
+        """Fields are level-major [K, L] (core/state.py): the entity axis is
+        the LAST axis, so sends/reassembly are lane gathers/updates."""
         vec = x.ndim > 1
-        xb = x if vec else x[:, None]
+        xb = x if vec else x[None, :]
         if len(tbl.rounds):
             out = self._exchange_ppermute(xb, tbl)
         else:
             out = self._exchange_all_to_all(xb, tbl)
-        return out if vec else out[:, 0]
+        return out if vec else out[0]
 
     def _exchange_all_to_all(self, xb, tbl: ExchangeArrays):
-        send = jnp.take(xb, tbl.send_idx.reshape(-1), axis=0)
-        send = send.reshape(tbl.send_idx.shape + xb.shape[1:])        # [S, m, K]
-        send = send * tbl.send_mask[..., None]
-        recv = jax.lax.all_to_all(send, self.axis, split_axis=0, concat_axis=0,
+        K = xb.shape[0]
+        send = jnp.take(xb, tbl.send_idx.reshape(-1), axis=1)
+        send = send.reshape((K,) + tbl.send_idx.shape)                # [K, S, m]
+        send = send * tbl.send_mask[None]
+        recv = jax.lax.all_to_all(send, self.axis, split_axis=1, concat_axis=1,
                                   tiled=False)
-        # all_to_all with split/concat on axis 0: recv[d] = what shard d sent us
-        recv_flat = recv.reshape((-1,) + xb.shape[1:])                # [S*m, K]
-        new_vals = jnp.take(recv_flat, tbl.recv_pos, axis=0)          # [L, K]
-        return jnp.where(tbl.recv_is_halo[:, None] > 0, new_vals, xb)
+        # all_to_all split/concat on the shard axis: recv[:, d] = what shard
+        # d sent us
+        recv_flat = recv.reshape(K, -1)                               # [K, S*m]
+        new_vals = jnp.take(recv_flat, tbl.recv_pos, axis=1)          # [K, L]
+        return jnp.where(tbl.recv_is_halo[None, :] > 0, new_vals, xb)
 
     def _exchange_ppermute(self, xb, tbl: ExchangeArrays):
         """Neighbor-only exchange: one lax.ppermute per schedule round, each
         sized to that round's largest pair (no all-pairs padding).  Padding
-        rows carry recv_slot >= L and are dropped by the scatter."""
+        slots carry recv_slot >= L and are dropped by the scatter."""
         out = xb
         for rnd in tbl.rounds:
-            send = jnp.take(xb, rnd.send_idx, axis=0) * rnd.send_mask[:, None]
+            send = jnp.take(xb, rnd.send_idx, axis=1) * rnd.send_mask[None, :]
             recv = jax.lax.ppermute(send, self.axis, perm=rnd.perm)
-            out = out.at[rnd.recv_slot].set(recv, mode="drop")
+            out = out.at[:, rnd.recv_slot].set(recv, mode="drop")
         return out
 
     def cell(self, *fields):

@@ -73,14 +73,14 @@ _STATIC_ENTITY = {
 
 
 def _state_entity(name: str, C: int, E: int, V: int, arr) -> str:
-    n = arr.shape[0]
+    n = arr.shape[-1]          # level-major layout: entity axis is LAST
     if n == C:
         return "cell"
     if n == E:
         return "edge"
     if n == V:
         return "vertex"
-    raise ValueError(f"cannot classify state field {name} with leading dim {n}")
+    raise ValueError(f"cannot classify state field {name} with trailing dim {n}")
 
 
 @dataclasses.dataclass
@@ -145,7 +145,7 @@ class ShardedModel:
                 out[f.name] = None
                 continue
             x = np.asarray(x)
-            L = x.shape[1]
+            L = x.shape[-1]                  # entity axis is last
             if L == p.cell_l2g.shape[1]:
                 l2g, om, N = p.cell_l2g, p.cell_owned_mask, C
             elif L == p.edge_l2g.shape[1]:
@@ -155,10 +155,10 @@ class ShardedModel:
             else:
                 out[f.name] = None
                 continue
-            g = np.zeros((N,) + x.shape[2:], x.dtype)
+            g = np.zeros(x.shape[1:-1] + (N,), x.dtype)
             for s in range(p.n_shards):
                 sel = om[s] > 0
-                g[l2g[s][sel]] = x[s][sel]
+                g[..., l2g[s][sel]] = x[s][..., sel]
             out[f.name] = g
         return out
 
@@ -176,9 +176,15 @@ def shard_model(model, n_shards: int, metis_path: str | None = None,
     l2g = {"cell": p.cell_l2g, "edge": p.edge_l2g, "vertex": p.vertex_l2g}
     g2l = {"cell": p.cell_g2l, "edge": p.edge_g2l, "vertex": p.vertex_g2l}
 
-    def shard_field(arr, entity, remap_to=None):
+    def shard_field(arr, entity, remap_to=None, axis=0):
+        """Per-shard blocks: mesh adjacency keeps the entity on axis 0;
+        state/static fields are level-major with the entity LAST (axis=-1),
+        yielding [S, ..., L] blocks."""
         arr = np.asarray(arr)
-        out = arr[l2g[entity]]                       # [S, L, ...]
+        if axis == 0:
+            out = arr[l2g[entity]]                   # [S, L, ...]
+        else:
+            out = np.moveaxis(np.take(arr, l2g[entity], axis=-1), -2, 0)
         if remap_to is not None:
             res = np.empty_like(out)
             for s in range(S):
@@ -186,13 +192,17 @@ def shard_model(model, n_shards: int, metis_path: str | None = None,
             out = res
         return out
 
-    # ---- mesh arrays ----
+    # ---- mesh arrays (slot-major coefficient tables carry the entity on
+    # their LAST axis; adjacency/weights keep it on axis 0) ----
+    _LAST_AXIS_MESH = {"dirHess", "tanWeights"}
     marr_np = {}
     for name, (entity, remap_to) in _MESH_FIELDS.items():
+        ax = -1 if name in _LAST_AXIS_MESH else 0
         marr_np[name] = shard_field(np.asarray(getattr(model.mesh_arrays, name)),
-                                    entity, remap_to)
-    # ---- static state ----
-    static_np = {name: shard_field(np.asarray(getattr(model.static, name)), ent)
+                                    entity, remap_to, axis=ax)
+    # ---- static state (level-major: entity axis is last) ----
+    static_np = {name: shard_field(np.asarray(getattr(model.static, name)),
+                                   ent, axis=-1)
                  for name, ent in _STATIC_ENTITY.items()}
     # ---- prognostic state ----
     state_np = {}
@@ -202,7 +212,7 @@ def shard_model(model, n_shards: int, metis_path: str | None = None,
             state_np[f.name] = None
             continue
         ent = _state_entity(f.name, C, E, V, x)
-        state_np[f.name] = shard_field(np.asarray(x), ent)
+        state_np[f.name] = shard_field(np.asarray(x), ent, axis=-1)
 
     # ---- halo tables ----
     def table_np(xt):
@@ -316,16 +326,17 @@ def make_sharded_radiation(sm: ShardedModel, phys):
 
     def local(marr, static, vert, state, phys_d, tp):
         m, st, sta = sq(marr), sq(state), sq(static)
-        pressure = sta.pressure_base + st.pressure_p
-        sp = (vert.cf1 * pressure[:, 0] + vert.cf2 * pressure[:, 1]
-              + vert.cf3 * pressure[:, 2])
-        qv = st.scalars[..., 0] if st.scalars is not None else None
-        qc = (st.scalars[..., 1] if st.scalars is not None
-              and st.scalars.shape[-1] > 1 else None)
+        pressure = sta.pressure_base + st.pressure_p         # [K, L]
+        sp = (vert.cf1 * pressure[0] + vert.cf2 * pressure[1]
+              + vert.cf3 * pressure[2])
+        # columnar radiation keeps the CAM [cols, pver] convention
+        qv = st.scalars[0].T if st.scalars is not None else None
+        qc = (st.scalars[1].T if st.scalars is not None
+              and st.scalars.shape[0] > 1 else None)
         rthraten, _ = radiation_columns(phys_d, m.latCell, m.lonCell,
-                                        st.theta_m, st.exner, pressure, sp,
-                                        qv, qc, tp)
-        return rthraten[None]
+                                        st.theta_m.T, st.exner.T, pressure.T,
+                                        sp, qv, qc, tp)
+        return rthraten.T[None]
 
     mapped = jax.shard_map(local, mesh=sm.jax_mesh,
                            in_specs=(P("dom"), P("dom"), P(), P("dom"), P(),
@@ -353,7 +364,7 @@ def make_sharded_summarize(sm: ShardedModel):
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
     def local(cm_, em_, state):
-        cmask, emask = cm_[0][:, None], em_[0][:, None]
+        cmask, emask = cm_[0][None, :], em_[0][None, :]
         st = jax.tree.map(lambda x: x[0], state)
         # masked extrema; NaNs tracked separately so the where() masking
         # cannot hide them
@@ -399,10 +410,12 @@ def host_summarize_oracle(sm: ShardedModel):
     p = sm.partition
     cm = np.asarray(p.cell_owned_mask) > 0
     em = np.asarray(p.edge_owned_mask) > 0
-    w = np.asarray(sm.state.w)
-    u = np.asarray(sm.state.u)
-    v = np.asarray(sm.state.v)
-    th = np.asarray(sm.state.theta_m)
+    # fields are [S, K, L]; swap to [S, L, K] so the [S, L] owned masks
+    # select whole columns
+    w = np.swapaxes(np.asarray(sm.state.w), 1, 2)
+    u = np.swapaxes(np.asarray(sm.state.u), 1, 2)
+    v = np.swapaxes(np.asarray(sm.state.v), 1, 2)
+    th = np.swapaxes(np.asarray(sm.state.theta_m), 1, 2)
     wsp = np.sqrt(u ** 2 + v ** 2)
     return dict(
         w_min=float(w[cm].min()), w_max=float(w[cm].max()),

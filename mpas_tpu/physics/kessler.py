@@ -15,15 +15,16 @@ warm-rain scheme, following the MPAS/WRF formulation
      evaporation against Tetens saturation vapor pressure, with the latent
      heating applied to theta.
 
-Scalar layout convention: scalars[..., 0]=qv, 1=qc, 2=qr (dry mixing
+Scalar layout convention: scalars[0]=qv, [1]=qc, [2]=qr (dry mixing
 ratios).  The update runs *inside* the jitted SRK3 step after scalar
 transport — the TPU-native equivalent of MPAS calling the microphysics
 driver at the end of atm_do_timestep — and rediagnoses the coupled state
 (rtheta_p, exner, pressure_p) from the equation of state exactly as
 atm_init_coupled_diagnostics does (dynamics_tasks.rg:707-724).
 
-All operations are elementwise on [C, K] arrays plus a vertical upwind
-scan: embarrassingly parallel over cells, fully fused by XLA.
+All operations are elementwise on level-major [K, C] arrays plus a
+vertical upwind scan: embarrassingly parallel over cells, fully fused by
+XLA.
 """
 
 from __future__ import annotations
@@ -56,7 +57,7 @@ def fall_substeps(dt: float, dz_min: float) -> int:
 
 def _fall_velocity(qr, rho):
     """Rain terminal fall speed [m/s]; rho is dry air density [kg/m^3]."""
-    rhofac = jnp.sqrt(rho[:, :1] / jnp.maximum(rho, 1e-12))
+    rhofac = jnp.sqrt(rho[:1] / jnp.maximum(rho, 1e-12))
     return 36.34 * jnp.maximum(qr * rho * 0.001, 0.0) ** 0.1364 * rhofac
 
 
@@ -72,21 +73,21 @@ def _sediment(qr, rho, dz, dt: float, nfall: int):
         vt = _fall_velocity(qr, rho)
         flux = rho * qr * vt                       # downward mass flux [kg/m^2/s]
         # level k receives flux from k+1 above, loses its own; top gets none
-        flux_in = jnp.concatenate([flux[:, 1:], jnp.zeros_like(flux[:, :1])],
-                                  axis=1)
+        flux_in = jnp.concatenate([flux[1:], jnp.zeros_like(flux[:1])],
+                                  axis=0)
         qr = qr + dtfall * (flux_in - flux) / rho_dz
         qr = jnp.maximum(qr, 0.0)
-        rain = rain + flux[:, 0] * dtfall          # surface precipitation
+        rain = rain + flux[0] * dtfall             # surface precipitation
         return qr, rain
 
-    rain0 = jnp.zeros(qr.shape[:1], qr.dtype)
+    rain0 = jnp.zeros(qr.shape[1:], qr.dtype)
     qr, rain = jax.lax.fori_loop(0, nfall, body, (qr, rain0))
     return qr, rain
 
 
 def kessler(theta, qv, qc, qr, rho, exner, pressure, dz, dt: float,
             nfall: int):
-    """One Kessler update.  All inputs [C, K] except dz [C, K]; theta is the
+    """One Kessler update.  All inputs level-major [K, C]; theta is the
     dry potential temperature.  Returns (theta, qv, qc, qr, rain [C] mm)."""
     # --- 1. sedimentation ---
     qr, rain = _sediment(qr, rho, dz, dt, nfall)
@@ -133,13 +134,13 @@ def apply_kessler(state, static, vert, nl, dt: float):
     rgas, cp, p0 = constants.rgas, constants.cp, constants.p0
     rcv = rgas / (cp - rgas)
 
-    qv = state.scalars[..., 0]
-    qc = state.scalars[..., 1]
-    qr = state.scalars[..., 2]
+    qv = state.scalars[0]
+    qc = state.scalars[1]
+    qr = state.scalars[2]
     theta = state.theta_m / (1.0 + constants.rvord * qv)
     rho = state.rho_zz * static.zz                       # dry density
     pressure = static.pressure_base + state.pressure_p
-    dz = static.zgrid[:, 1:] - static.zgrid[:, :-1]
+    dz = static.zgrid[1:] - static.zgrid[:-1]
 
     theta, qv, qc, qr, rain = kessler(
         theta, qv, qc, qr, rho, state.exner, pressure, dz, dt,
@@ -153,9 +154,9 @@ def apply_kessler(state, static, vert, nl, dt: float):
     pressure_p = static.zz * rgas * (
         exner * rtheta_p + static.rtheta_base * (exner - static.exner_base))
 
-    scalars = jnp.stack([qv, qc, qr] + [state.scalars[..., i]
-                                        for i in range(3, state.scalars.shape[-1])],
-                        axis=-1)
+    scalars = jnp.stack([qv, qc, qr] + [state.scalars[i]
+                                        for i in range(3, state.scalars.shape[0])],
+                        axis=0)
     rainnc = (state.rainnc + rain) if state.rainnc is not None else rain
     return state.replace(theta_m=theta_m, rtheta_p=rtheta_p, exner=exner,
                          pressure_p=pressure_p, scalars=scalars, rainnc=rainnc)

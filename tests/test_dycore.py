@@ -49,8 +49,8 @@ def test_jw_stability_and_conservation(model):
     S = model.state
     # conserved dry mass: integral of coupled density rho_zz over A * dzeta
     # (rho dV = rho_zz * zz * A * dz = rho_zz * A * dzw)
-    vol = (np.asarray(model.mesh_arrays.areaCell)[:, None]
-           * np.asarray(model.vert.dzw)[None, :])
+    vol = (np.asarray(model.vert.dzw)[:, None]
+           * np.asarray(model.mesh_arrays.areaCell)[None, :])
     mass0 = (np.asarray(S.rho_zz) * vol).sum()
     u0 = np.asarray(S.u)
     for _ in range(10):
@@ -67,7 +67,7 @@ def test_bubble_decays(model):
     """A 1 K warm bubble on the resting base state must not amplify."""
     static = model.static
     base = _rest_state(model)
-    th = base.theta_m.at[100, 4].add(1.0)
+    th = base.theta_m.at[4, 100].add(1.0)    # level 4, cell 100
     rtp = th * base.rho_p + static.rho_base * (th - static.theta_base)
     S = base.replace(theta_m=th, rtheta_p=rtp)
     peak = 0.0
@@ -80,9 +80,9 @@ def test_bubble_decays(model):
 def test_output_diagnostics(model):
     out = D.output_diagnostics(model.state, model.static)
     p = np.asarray(out["pressure"])
-    assert p.min() > 0 and p[:, 0].max() < 1.1e5
+    assert p.min() > 0 and p[0].max() < 1.1e5
     rho = np.asarray(out["rho"])
-    assert rho.min() > 0 and rho[:, 0].max() < 1.5
+    assert rho.min() > 0 and rho[0].max() < 1.5
 
 
 def test_dynamics_split_three():

@@ -36,12 +36,12 @@ def test_hydrostatic_balance(model):
     import mpas_tpu.ops.stencils as st
     from mpas_tpu import constants
     state, static, vert = model.state, model.static, model.vert
-    C = state.theta_m.shape[0]
+    C = state.theta_m.shape[1]               # level-major [K, C]
     dpdz = -constants.gravity * state.rho_p
-    zero = jnp.zeros((C, 1), state.theta_m.dtype)
-    dpp = jnp.concatenate([zero, st.delta(state.pressure_p), zero], axis=1)
+    zero = jnp.zeros((1, C), state.theta_m.dtype)
+    dpp = jnp.concatenate([zero, st.delta(state.pressure_p), zero], axis=0)
     dpdz_i = st.interface_interp(dpdz, vert.fzm, vert.fzp)
-    resid = vert.rdzu[None, :] * dpp - dpdz_i
+    resid = vert.rdzu[:, None] * dpp - dpdz_i
     # compare against the gravity term magnitude
     scale = float(jnp.abs(dpdz_i).max())
     assert float(jnp.abs(resid).max()) < 1e-9 * max(scale, 1.0)

@@ -13,17 +13,18 @@ from mpas_tpu.physics import kessler as mp
 
 
 def _column(C=16, K=10):
-    """Idealized tropical-ish columns: warm below, cold aloft."""
+    """Idealized tropical-ish columns, level-major [K, C]: warm below,
+    cold aloft."""
     rng = np.random.default_rng(0)
-    z = np.linspace(250.0, 14750.0, K)[None, :] * np.ones((C, 1))
+    z = np.linspace(250.0, 14750.0, K)[:, None] * np.ones((1, C))
     t = 300.0 - 6.5e-3 * z
     p = 1.0e5 * (t / 300.0) ** (constants.gravity / (constants.rgas * 6.5e-3))
     exner = (p / constants.p0) ** (constants.rgas / constants.cp)
     theta = t / exner
     rho = p / (constants.rgas * t)
-    dz = 1500.0 * np.ones((C, K))
+    dz = 1500.0 * np.ones((K, C))
     qv = 0.8 * mp.EP2 * 611.2 * np.exp(17.67 * (t - 273.15) / (t - 29.65)) / p
-    qv += rng.uniform(0, 1e-4, (C, K))
+    qv += rng.uniform(0, 1e-4, (K, C))
     return (jnp.asarray(theta), jnp.asarray(qv), jnp.asarray(rho),
             jnp.asarray(exner), jnp.asarray(p), jnp.asarray(dz))
 
@@ -67,16 +68,16 @@ def test_subsaturated_no_condensation():
 
 def test_sedimentation_conserves_and_rains_out():
     theta, qv, rho, exner, p, dz = _column()
-    qr = jnp.zeros_like(qv).at[:, 5].set(2e-3)    # rain shaft aloft
-    col0 = (np.asarray(qr) * np.asarray(rho) * np.asarray(dz)).sum(axis=1)
+    qr = jnp.zeros_like(qv).at[5].set(2e-3)       # rain shaft aloft
+    col0 = (np.asarray(qr) * np.asarray(rho) * np.asarray(dz)).sum(axis=0)
     qr1, rain = mp._sediment(qr, rho, dz, dt=600.0, nfall=8)
-    col1 = (np.asarray(qr1) * np.asarray(rho) * np.asarray(dz)).sum(axis=1)
+    col1 = (np.asarray(qr1) * np.asarray(rho) * np.asarray(dz)).sum(axis=0)
     assert np.all(np.asarray(qr1) >= 0.0)
     np.testing.assert_allclose(col1 + np.asarray(rain), col0, rtol=1e-12)
     assert float(rain.max()) > 0.0                # some rain reached the ground
     # mass moved downward: level 5 lost, levels below gained
-    assert float(qr1[:, 5].max()) < 2e-3
-    assert float(qr1[:, :5].max()) > 0.0
+    assert float(qr1[5].max()) < 2e-3
+    assert float(qr1[:5].max()) > 0.0
 
 
 def test_autoconversion_threshold():
@@ -105,15 +106,15 @@ def moist_model():
 
 def test_moist_model_integrates(moist_model):
     m = moist_model
-    assert m.state.scalars.shape[-1] == 3
+    assert m.state.scalars.shape[0] == 3          # species-major [nS, K, C]
     assert m.namelist.config_kessler_nfall >= 1
     assert m.namelist.config_scalar_advection
     s = m.state
     # seed a saturated warm blob near the surface to exercise the full loop
-    qv = s.scalars[..., 0] + 0.02 * jnp.exp(
-        -((m.mesh_arrays.latCell[:, None]) / 0.3) ** 2) \
-        * jnp.exp(-jnp.arange(s.theta_m.shape[1]) / 2.0)[None, :]
-    s = s.replace(scalars=s.scalars.at[..., 0].set(qv))
+    qv = s.scalars[0] + 0.02 * jnp.exp(
+        -((m.mesh_arrays.latCell[None, :]) / 0.3) ** 2) \
+        * jnp.exp(-jnp.arange(s.theta_m.shape[0]) / 2.0)[:, None]
+    s = s.replace(scalars=s.scalars.at[0].set(qv))
     for _ in range(3):
         s = m.step_fn(s)
     assert not bool(jnp.any(jnp.isnan(s.theta_m)))
@@ -121,4 +122,4 @@ def test_moist_model_integrates(moist_model):
     assert float(s.scalars.min()) >= -1e-12       # positivity
     assert float(s.rainnc.min()) >= 0.0
     # condensation happened somewhere
-    assert float(s.scalars[..., 1].max()) > 0.0
+    assert float(s.scalars[1].max()) > 0.0

@@ -23,10 +23,11 @@ def test_vertical_grid_identities():
 def test_interface_interp_linear():
     vg = make_vertical_grid(12, 24000.0)
     # a field linear in zu interpolates exactly to zw at interior interfaces
-    f = (2.0 + 3.0 * vg.zu)[None, :].repeat(4, 0)
+    # (level-major [K, N] layout)
+    f = (2.0 + 3.0 * vg.zu)[:, None].repeat(4, 1)
     fi = st.interface_interp(jnp.asarray(f), jnp.asarray(vg.fzm), jnp.asarray(vg.fzp))
-    expect = np.broadcast_to(2.0 + 3.0 * vg.zw, (4, 13))
-    np.testing.assert_allclose(np.asarray(fi)[:, 1:12], expect[:, 1:12], rtol=1e-12)
+    expect = np.broadcast_to((2.0 + 3.0 * vg.zw)[:, None], (13, 4))
+    np.testing.assert_allclose(np.asarray(fi)[1:12], expect[1:12], rtol=1e-12)
 
 
 def test_divergence_of_streamfunction_flow(model):
@@ -54,8 +55,8 @@ def test_vorticity_solid_body(model):
     v1, v2 = m.verticesOnEdge[:, 0], m.verticesOnEdge[:, 1]
     u = (G[v2] - G[v1]) / m.dvEdge
     w_vortex = mesh.edgesOnVertexSign * jnp.take(mesh.dcEdge, mesh.edgesOnVertex)
-    vort = st.sum_edges_to_vertex(jnp.asarray(u)[:, None], mesh.edgesOnVertex, w_vortex)
-    vort = np.asarray(vort)[:, 0] * m.invAreaTriangle
+    vort = st.sum_edges_to_vertex(jnp.asarray(u)[None, :], mesh.edgesOnVertex, w_vortex)
+    vort = np.asarray(vort)[0] * m.invAreaTriangle
     target = 2.0 * Om * np.sin(m.latVertex)
     # discrete circulation matches analytic up to coarse-mesh truncation
     # (~5% max near pentagons on the 480 km mesh)
@@ -70,11 +71,11 @@ def test_tridiag_solve_against_dense(model):
     state = R.compute_moist_coefficients(model.state, model.mesh_arrays)
     coefs = A.compute_vert_imp_coefs(state, model.static, model.vert,
                                      model.namelist, 240.0)
-    C, K = state.theta_m.shape
+    K, C = state.theta_m.shape
     rng = np.random.default_rng(0)
-    rhs = jnp.asarray(np.concatenate([np.zeros((C, 1)),
-                                      rng.normal(0, 1, (C, K - 1)),
-                                      np.zeros((C, 1))], axis=1))
+    rhs = jnp.asarray(np.concatenate([np.zeros((1, C)),
+                                      rng.normal(0, 1, (K - 1, C)),
+                                      np.zeros((1, C))], axis=0))
     w = np.asarray(A._tridiag_solve(rhs, coefs))
     # verify a*w[k-1] + b*w[k] + c*w[k+1] = rhs on a sample of columns
     a = np.asarray(coefs.a_tri)
@@ -82,19 +83,19 @@ def test_tridiag_solve_against_dense(model):
     gamma = np.asarray(coefs.gamma_tri)
     # reconstruct b and c from alpha/gamma: alpha = 1/(b - a*gamma_prev); c = gamma/alpha
     for c_ in [0, 17, 901]:
-        b = 1.0 / alpha[c_, 1:K] + a[c_, 1:K] * np.concatenate([[0], gamma[c_, 1:K - 1]])
-        cc = gamma[c_, 1:K] / alpha[c_, 1:K]
-        res = (a[c_, 1:K] * w[c_, 0:K - 1] + b * w[c_, 1:K]
-               + cc * w[c_, 2:K + 1]) - np.asarray(rhs)[c_, 1:K]
+        b = 1.0 / alpha[1:K, c_] + a[1:K, c_] * np.concatenate([[0], gamma[1:K - 1, c_]])
+        cc = gamma[1:K, c_] / alpha[1:K, c_]
+        res = (a[1:K, c_] * w[0:K - 1, c_] + b * w[1:K, c_]
+               + cc * w[2:K + 1, c_]) - np.asarray(rhs)[1:K, c_]
         assert np.abs(res).max() < 1e-10
 
 
 def test_vflux_constant_field():
     vg = make_vertical_grid(8, 16000.0)
     fzm, fzp = jnp.asarray(vg.fzm), jnp.asarray(vg.fzp)
-    q = jnp.ones((5, 8))
-    m = jnp.asarray(np.random.default_rng(1).normal(0, 1, (5, 9)))
-    m = m.at[:, 0].set(0).at[:, 8].set(0)
+    q = jnp.ones((8, 5))
+    m = jnp.asarray(np.random.default_rng(1).normal(0, 1, (9, 5)))
+    m = m.at[0].set(0).at[8].set(0)
     flx = st.vflux_mass_to_iface(q, m, fzm, fzp, 0.25)
     # for constant q the flux must equal m * q at every interior interface
-    np.testing.assert_allclose(np.asarray(flx)[:, 1:8], np.asarray(m)[:, 1:8], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(flx)[1:8], np.asarray(m)[1:8], rtol=1e-12)

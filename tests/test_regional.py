@@ -66,13 +66,13 @@ def test_specified_zone_frozen_interior_evolves(regional_mesh):
     for _ in range(5):
         S = model.step_fn(S)
     assert not bool(jnp.any(jnp.isnan(S.u)))
-    # specified zone held exactly
-    np.testing.assert_array_equal(np.asarray(S.u)[spec_e],
-                                  np.asarray(S0.u)[spec_e])
-    np.testing.assert_array_equal(np.asarray(S.theta_m)[spec_c],
-                                  np.asarray(S0.theta_m)[spec_c])
-    np.testing.assert_array_equal(np.asarray(S.w)[spec_c],
-                                  np.asarray(S0.w)[spec_c])
+    # specified zone held exactly (fields are level-major [K, N])
+    np.testing.assert_array_equal(np.asarray(S.u)[:, spec_e],
+                                  np.asarray(S0.u)[:, spec_e])
+    np.testing.assert_array_equal(np.asarray(S.theta_m)[:, spec_c],
+                                  np.asarray(S0.theta_m)[:, spec_c])
+    np.testing.assert_array_equal(np.asarray(S.w)[:, spec_c],
+                                  np.asarray(S0.w)[:, spec_c])
     # interior (perturbed JW) actually evolves
-    du_int = np.abs(np.asarray(S.u) - np.asarray(S0.u))[bdy_e == 0].max()
+    du_int = np.abs(np.asarray(S.u) - np.asarray(S0.u))[:, bdy_e == 0].max()
     assert du_int > 1e-4, du_int

@@ -25,13 +25,14 @@ def _plume(model, amp=1.0):
     lon = np.asarray(model.mesh_arrays.lonCell)
     d = np.arccos(np.clip(np.cos(lat) * np.cos(lon - np.pi), -1, 1))
     K = model.vgrid.nVertLevels
-    return amp * np.exp(-(d / 0.3) ** 2)[:, None] * np.ones((1, K))
+    # level-major [K, C]
+    return amp * np.exp(-(d / 0.3) ** 2)[None, :] * np.ones((K, 1))
 
 
 def test_constancy_preservation(small_model):
     m = small_model
-    C, K = m.state.theta_m.shape
-    S = m.state.replace(scalars=jnp.ones((C, K, 1)))
+    K, C = m.state.theta_m.shape
+    S = m.state.replace(scalars=jnp.ones((1, K, C)))
     S1 = m.step_fn(S)
     assert float(jnp.abs(S1.scalars - 1.0).max()) < 1e-11
 
@@ -39,16 +40,16 @@ def test_constancy_preservation(small_model):
 def test_fct_monotone_and_conservative(small_model):
     m = small_model
     mesh, vert, nl = m.mesh_arrays, m.vert, m.namelist
-    q = jnp.asarray(_plume(m))[:, :, None]
+    q = jnp.asarray(_plume(m))[None]          # [1, K, C]
     ruAvg = m.state.ru
     wwAvg = jnp.zeros_like(m.state.rw)
     rho = m.state.rho_zz
-    vol = np.asarray(mesh.areaCell)[:, None] * np.asarray(vert.dzw)[None, :]
-    mass0 = (np.asarray(rho) * np.asarray(q[..., 0]) * vol).sum()
+    vol = np.asarray(vert.dzw)[:, None] * np.asarray(mesh.areaCell)[None, :]
+    mass0 = (np.asarray(rho) * np.asarray(q[0]) * vol).sum()
     for _ in range(10):
         q, rho = SC.advance_scalars_mono(q, rho, ruAvg, wwAvg, mesh, vert,
                                          nl, 720.0)
-    qn = np.asarray(q[..., 0])
+    qn = np.asarray(q[0])
     assert qn.min() >= -1e-15
     assert qn.max() <= 1.0 + 1e-10
     mass1 = (np.asarray(rho) * qn * vol).sum()
@@ -58,24 +59,24 @@ def test_fct_monotone_and_conservative(small_model):
 def test_third_order_conservative(small_model):
     m = small_model
     mesh, vert, nl = m.mesh_arrays, m.vert, m.namelist
-    q = jnp.asarray(_plume(m))[:, :, None]
+    q = jnp.asarray(_plume(m))[None]          # [1, K, C]
     ruAvg = m.state.ru
     wwAvg = jnp.zeros_like(m.state.rw)
     rho = m.state.rho_zz
-    vol = np.asarray(mesh.areaCell)[:, None] * np.asarray(vert.dzw)[None, :]
-    mass0 = (np.asarray(rho) * np.asarray(q[..., 0]) * vol).sum()
+    vol = np.asarray(vert.dzw)[:, None] * np.asarray(mesh.areaCell)[None, :]
+    mass0 = (np.asarray(rho) * np.asarray(q[0]) * vol).sum()
     for _ in range(5):
         q, rho = SC.advance_scalars(q, rho, ruAvg, wwAvg, mesh, vert, nl, 720.0)
-    mass1 = (np.asarray(rho) * np.asarray(q[..., 0]) * vol).sum()
+    mass1 = (np.asarray(rho) * np.asarray(q[0]) * vol).sum()
     assert abs(mass1 - mass0) / mass0 < 1e-12
 
 
 def test_moist_model_stable(small_model):
     m = small_model
-    q0 = jnp.asarray(0.02 * _plume(m))[:, :, None]
+    q0 = jnp.asarray(0.02 * _plume(m))[None]
     S = m.state.replace(scalars=q0)
     for _ in range(4):
         S = m.step_fn(S)
-    qn = np.asarray(S.scalars[..., 0])
+    qn = np.asarray(S.scalars[0])
     assert qn.min() >= -1e-12 and qn.max() <= 0.025
     assert not bool(jnp.any(jnp.isnan(S.u)))

@@ -39,15 +39,17 @@ def main():
     model.step(nl.config_run_duration_steps)
     out = output_diagnostics(model.state, model.static)
     vg = model.vgrid
-    pressure = np.asarray(out["pressure"])
-    sp = (vg.cf1 * pressure[:, 0] + vg.cf2 * pressure[:, 1]
-          + vg.cf3 * pressure[:, 2])
+    pressure = np.asarray(out["pressure"])   # level-major [K, C]
+    sp = (vg.cf1 * pressure[0] + vg.cf2 * pressure[1]
+          + vg.cf3 * pressure[2])
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(
         OUT,
-        u=np.asarray(model.state.u), w=np.asarray(model.state.w),
-        theta_m=np.asarray(model.state.theta_m),
-        rho_zz=np.asarray(model.state.rho_zz),
+        # the golden artifact keeps the element-major [N, K] file layout
+        # (tests/test_golden.py transposes the level-major device state)
+        u=np.asarray(model.state.u).T, w=np.asarray(model.state.w).T,
+        theta_m=np.asarray(model.state.theta_m).T,
+        rho_zz=np.asarray(model.state.rho_zz).T,
         surface_pressure=sp,
         config=np.array(str(nl)),
     )

@@ -62,9 +62,10 @@ def worker(pid: int):
     p = sm.partition
     n_checked = 0
     for name in ("u", "w", "theta_m", "rho_zz"):
+        # fields are level-major [K, N]: the entity axis is LAST
         a_ref = np.asarray(getattr(ref, name))
         x = getattr(sm.state, name)
-        if x.shape[1] == p.cell_l2g.shape[1]:
+        if x.shape[-1] == p.cell_l2g.shape[1]:
             l2g, om = p.cell_l2g, p.cell_owned_mask
         else:
             l2g, om = p.edge_l2g, p.edge_owned_mask
@@ -72,8 +73,8 @@ def worker(pid: int):
             s = shard.index[0].start or 0
             local = np.asarray(shard.data)[0]
             sel = om[s] > 0
-            want = a_ref[l2g[s][sel]]
-            got = local[sel]
+            want = a_ref[:, l2g[s][sel]]
+            got = local[:, sel]
             scale = np.abs(want).max() + 1e-30
             err = np.abs(want - got).max() / scale
             # f32 fusion-order roundoff across the distributed compile is
