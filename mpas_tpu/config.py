@@ -100,8 +100,12 @@ class Namelist:
     config_curvature: bool = True             # spherical curvature terms
     # cell-form advection/Thuburn operators (per-cell directional Hessians +
     # tangential matrices with flat slot gathers) instead of per-edge stencil
-    # gathers — identical arithmetic, ~5x fewer gather rows (NEXT.md study)
-    config_cell_form_ops: bool = True
+    # gathers — identical arithmetic.  Under the round-3 level-major layout
+    # the cell form's [K, M*C]-wide slot-pair reads are the expensive gather
+    # shape (~10 ns/column vs ~2 ns from narrow tables), so the per-edge
+    # stencil form is now the default: 82.6 vs 91.3 ms/step at x1.40962/41L
+    # on v5e (docs/PERF.md round-3 study).
+    config_cell_form_ops: bool = False
     config_use_pallas_acoustic: bool = False  # fused Pallas acoustic column kernel
     config_divergence_damping: bool = True    # 3-D divergence damping
     config_smagorinsky: bool = True           # horizontal Smagorinsky/del4 mixing

@@ -5,14 +5,18 @@ column-local array passes in pure XLA — rs/ts assembly, the implicit w
 right-hand side, the tridiagonal forward/backward substitution (which as a
 lax.scan breaks XLA fusion into 2*K strided micro-ops), the implicit
 Rayleigh damping, and the rho_pp/rtheta_pp recovery.  This kernel fuses the
-whole chain into ONE pass: each grid step DMAs a [BC, K] block of every
-input column into VMEM, runs the entire update including the K-step
-recurrences on-chip, and writes the four outputs once.
+whole chain into ONE pass: each grid step DMAs a [K, BC] level-major block
+of every input column into VMEM, runs the entire update including the
+K-step recurrences on-chip (row slices over the sublane axis), and writes
+the four outputs once.
 
 The horizontal flux divergences (rs0/ts0) stay in XLA (they are
 gather-based); everything downstream of them is column-local and lives here.
 Numerics are identical to ops/acoustic.advance_acoustic_step's cell section
 (validated against it in tests/test_pallas.py).
+
+Layout: all arrays are level-major [K, C] / [K+1, C] (core/state.py);
+blocks put the cells in the lane dimension, levels in sublanes.
 """
 
 from __future__ import annotations
@@ -36,75 +40,75 @@ def _kernel(rs0_ref, ts0_ref, rho_pp_ref, rtheta_pp_ref, rw_p_ref,
             *, K: int, dts: float, epssm: float):
     resm = (1.0 - epssm) / (1.0 + epssm)
 
-    rho_pp = rho_pp_ref[:]          # [BC, K]
+    rho_pp = rho_pp_ref[:]          # [K, BC]
     rtheta_pp = rtheta_pp_ref[:]
-    rw_p = rw_p_ref[:]              # [BC, K+1]
-    cofrz = cofrz_ref[:]            # [1, K]
-    coftz = coftz_ref[:]            # [BC, K+1]
+    rw_p = rw_p_ref[:]              # [K+1, BC]
+    cofrz = cofrz_ref[:]            # [K, 1]
+    coftz = coftz_ref[:]            # [K+1, BC]
 
-    d_rwp = rw_p[:, 1:K + 1] - rw_p[:, 0:K]
+    d_rwp = rw_p[1:K + 1] - rw_p[0:K]
     rs = (rho_pp + dts * tend_rho_ref[:] + rs0_ref[:]
           - cofrz * resm * d_rwp)
     ctz_rwp = coftz * rw_p
     dtseps = 0.5 * dts * (1.0 + epssm)
-    rdzw = cofrz / dtseps           # [1, K] (cofrz = dtseps * rdzw)
+    rdzw = cofrz / dtseps           # [K, 1] (cofrz = dtseps * rdzw)
     ts = (rtheta_pp + dts * tend_rt_ref[:] + ts0_ref[:]
-          - resm * rdzw * (ctz_rwp[:, 1:K + 1] - ctz_rwp[:, 0:K]))
+          - resm * rdzw * (ctz_rwp[1:K + 1] - ctz_rwp[0:K]))
 
-    zz = zz_ref[:]                  # [BC, K]
-    cofwz = cofwz_ref[:]            # [BC, K+1]
+    zz = zz_ref[:]                  # [K, BC]
+    cofwz = cofwz_ref[:]            # [K+1, BC]
     cofwr = cofwr_ref[:]
-    cofwt = cofwt_ref[:]            # [BC, K]
-    tend_w = tend_w_ref[:]          # [BC, K+1]
+    cofwt = cofwt_ref[:]            # [K, BC]
+    tend_w = tend_w_ref[:]          # [K+1, BC]
 
     zz_ts = zz * ts
     zz_rtpp = zz * rtheta_pp
-    rhs = (rw_p[:, 1:K] + dts * tend_w[:, 1:K]
-           - cofwz[:, 1:K] * ((zz_ts[:, 1:K] - zz_ts[:, 0:K - 1])
-                              + resm * (zz_rtpp[:, 1:K] - zz_rtpp[:, 0:K - 1]))
-           - cofwr[:, 1:K] * ((rs[:, 1:K] + rs[:, 0:K - 1])
-                              + resm * (rho_pp[:, 1:K] + rho_pp[:, 0:K - 1]))
-           + cofwt[:, 1:K] * (ts[:, 1:K] + resm * rtheta_pp[:, 1:K])
-           + cofwt[:, 0:K - 1] * (ts[:, 0:K - 1] + resm * rtheta_pp[:, 0:K - 1]))
-    # rhs columns are interfaces 1..K-1 (K-1 of them)
+    rhs = (rw_p[1:K] + dts * tend_w[1:K]
+           - cofwz[1:K] * ((zz_ts[1:K] - zz_ts[0:K - 1])
+                           + resm * (zz_rtpp[1:K] - zz_rtpp[0:K - 1]))
+           - cofwr[1:K] * ((rs[1:K] + rs[0:K - 1])
+                           + resm * (rho_pp[1:K] + rho_pp[0:K - 1]))
+           + cofwt[1:K] * (ts[1:K] + resm * rtheta_pp[1:K])
+           + cofwt[0:K - 1] * (ts[0:K - 1] + resm * rtheta_pp[0:K - 1]))
+    # rhs rows are interfaces 1..K-1 (K-1 of them)
 
     # --- tridiagonal solve in-registers: forward then backward ---
     a_tri = a_tri_ref[:]
     alpha_tri = alpha_tri_ref[:]
     gamma_tri = gamma_tri_ref[:]
-    cols = []
-    w_prev = rhs[:, 0] * 0.0
+    rows = []
+    w_prev = rhs[0] * 0.0
     for k in range(1, K):
-        w_prev = (rhs[:, k - 1] - a_tri[:, k] * w_prev) * alpha_tri[:, k]
-        cols.append(w_prev)
+        w_prev = (rhs[k - 1] - a_tri[k] * w_prev) * alpha_tri[k]
+        rows.append(w_prev)
     w_next = w_prev * 0.0
     outs = [None] * (K - 1)
     for k in range(K - 1, 0, -1):
-        w_next = cols[k - 1] - gamma_tri[:, k] * w_next
+        w_next = rows[k - 1] - gamma_tri[k] * w_next
         outs[k - 1] = w_next
-    w_solved = jnp.stack(outs, axis=1)        # [BC, K-1] interfaces 1..K-1
+    w_solved = jnp.stack(outs, axis=0)        # [K-1, BC] interfaces 1..K-1
 
     # --- implicit Rayleigh damping (interfaces 1..K-1) ---
-    dss_i = dss_i_ref[:]                      # [BC, K+1]
+    dss_i = dss_i_ref[:]                      # [K+1, BC]
     zz_rho_i = zz_rho_i_ref[:]                # zz_i * rho_i at interfaces
     w_big = w_ref[:]                          # large-step w
     dw_save = dw_save_ref[:]                  # rw_save - rw
     sl = slice(1, K)
-    damped = ((w_solved + dw_save[:, sl]
-               - dts * dss_i[:, sl] * zz_rho_i[:, sl] * w_big[:, sl])
-              / (1.0 + dts * dss_i[:, sl]) - dw_save[:, sl])
+    damped = ((w_solved + dw_save[sl]
+               - dts * dss_i[sl] * zz_rho_i[sl] * w_big[sl])
+              / (1.0 + dts * dss_i[sl]) - dw_save[sl])
 
-    zero = rhs[:, :1] * 0.0
-    rw_p_new = jnp.concatenate([zero, damped, zero], axis=1)
+    zero = rhs[:1] * 0.0
+    rw_p_new = jnp.concatenate([zero, damped, zero], axis=0)
 
     wwAvg = (wwAvg_ref[:]
-             + jnp.concatenate([zero, 0.5 * (1.0 - epssm) * rw_p[:, sl]
-                                + 0.5 * (1.0 + epssm) * damped, zero], axis=1))
+             + jnp.concatenate([zero, 0.5 * (1.0 - epssm) * rw_p[sl]
+                                + 0.5 * (1.0 + epssm) * damped, zero], axis=0))
 
-    d_rwp_new = rw_p_new[:, 1:K + 1] - rw_p_new[:, 0:K]
+    d_rwp_new = rw_p_new[1:K + 1] - rw_p_new[0:K]
     rho_pp_out[:] = rs - cofrz * d_rwp_new
     ctz_new = coftz * rw_p_new
-    rtheta_pp_out[:] = ts - rdzw * (ctz_new[:, 1:K + 1] - ctz_new[:, 0:K])
+    rtheta_pp_out[:] = ts - rdzw * (ctz_new[1:K + 1] - ctz_new[0:K])
     rw_p_out[:] = rw_p_new
     wwAvg_out[:] = wwAvg
 
@@ -112,31 +116,19 @@ def _kernel(rs0_ref, ts0_ref, rho_pp_ref, rtheta_pp_ref, rw_p_ref,
 def acoustic_column_update(rs0, ts0, ac_rho_pp, ac_rtheta_pp, ac_rw_p, wwAvg,
                            tend_rho, tend_rt, tend_w, coefs, zz, dss_i,
                            zz_rho_i, w, dw_save, dts: float, epssm: float,
-                           block_c: int = 128, interpret: bool = False):
-    """Fused acoustic cell update.  Accepts the level-major [K, N] dycore
-    layout (core/state.py) and transposes at this boundary — the kernel
-    blocks are cell-major [BC, K] (K in lanes).  Returns level-major
-    (rho_pp, rtheta_pp, rw_p, wwAvg)."""
-    t = lambda x: x.T
-    rs0, ts0 = t(rs0), t(ts0)
-    ac_rho_pp, ac_rtheta_pp = t(ac_rho_pp), t(ac_rtheta_pp)
-    ac_rw_p, wwAvg = t(ac_rw_p), t(wwAvg)
-    tend_rho, tend_rt, tend_w = t(tend_rho), t(tend_rt), t(tend_w)
-    zz, dss_i, zz_rho_i, w, dw_save = t(zz), t(dss_i), t(zz_rho_i), t(w), t(dw_save)
-    coefs = coefs.replace(
-        cofwr=t(coefs.cofwr), cofwz=t(coefs.cofwz), coftz=t(coefs.coftz),
-        cofwt=t(coefs.cofwt), a_tri=t(coefs.a_tri),
-        alpha_tri=t(coefs.alpha_tri), gamma_tri=t(coefs.gamma_tri))
-    C, K = rs0.shape
+                           block_c: int = 1024, interpret: bool = False):
+    """Fused acoustic cell update.  All arrays level-major [K, C] / [K+1, C];
+    returns (rho_pp, rtheta_pp, rw_p, wwAvg)."""
+    K, C = rs0.shape
     bc = min(block_c, C)
     grid = (pl.cdiv(C, bc),)
     dtype = rs0.dtype
 
     def spec(kdim):
-        return pl.BlockSpec((bc, kdim), lambda i: (i, 0),
+        return pl.BlockSpec((kdim, bc), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    cofrz2d = coefs.cofrz.reshape(1, K).astype(dtype)
+    cofrz2d = coefs.cofrz.reshape(K, 1).astype(dtype)
     kern = functools.partial(_kernel, K=K, dts=float(dts), epssm=float(epssm))
 
     out = pl.pallas_call(
@@ -145,17 +137,17 @@ def acoustic_column_update(rs0, ts0, ac_rho_pp, ac_rtheta_pp, ac_rw_p, wwAvg,
         in_specs=[
             spec(K), spec(K), spec(K), spec(K), spec(K + 1), spec(K + 1),
             spec(K), spec(K), spec(K + 1),
-            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             spec(K + 1), spec(K + 1), spec(K + 1), spec(K),
             spec(K + 1), spec(K + 1), spec(K + 1),
             spec(K), spec(K + 1), spec(K + 1), spec(K + 1), spec(K + 1),
         ],
         out_specs=(spec(K), spec(K), spec(K + 1), spec(K + 1)),
         out_shape=(
-            jax.ShapeDtypeStruct((C, K), dtype),
-            jax.ShapeDtypeStruct((C, K), dtype),
-            jax.ShapeDtypeStruct((C, K + 1), dtype),
-            jax.ShapeDtypeStruct((C, K + 1), dtype),
+            jax.ShapeDtypeStruct((K, C), dtype),
+            jax.ShapeDtypeStruct((K, C), dtype),
+            jax.ShapeDtypeStruct((K + 1, C), dtype),
+            jax.ShapeDtypeStruct((K + 1, C), dtype),
         ),
         interpret=interpret,
     )(rs0, ts0, ac_rho_pp, ac_rtheta_pp, ac_rw_p, wwAvg,
@@ -165,4 +157,4 @@ def acoustic_column_update(rs0, ts0, ac_rho_pp, ac_rtheta_pp, ac_rw_p, wwAvg,
       coefs.a_tri.astype(dtype), coefs.alpha_tri.astype(dtype),
       coefs.gamma_tri.astype(dtype),
       zz, dss_i, zz_rho_i, w, dw_save)
-    return tuple(o.T for o in out)
+    return out

@@ -160,11 +160,35 @@ def edge_slot_pair(slots, cellsOnEdge, slotOnCell):
     `slots` is a list of M [K, C] arrays; returns (tbl[c1, slot1],
     tbl[c2, slot2]) each [K, E] via two lane gathers from the [K, M*C]
     concatenation."""
-    C = slots[0].shape[1]
-    flat = jnp.concatenate(slots, axis=1)                 # [K, M*C]
+    ((s1, s2),) = edge_slot_pairs(cellsOnEdge, slotOnCell, slots)
+    return s1, s2
+
+
+def edge_slot_pairs(cellsOnEdge, slotOnCell, *slot_lists):
+    """Stacked edge_slot_pair over several per-field slot-table lists
+    sharing the (cell, slot) index: the M*C-wide gather is the expensive
+    lane-gather shape (~10 ns per gathered column vs ~2 ns from a [K, C]
+    table — docs/PERF.md), so fields that read the same slots MUST share it.
+    Each slot m stacks all fields along the level axis; two wide gathers
+    serve every field.  Returns [(f_side1 [K_i, E], f_side2), ...]."""
+    C = slot_lists[0][0].shape[1]
+    M = len(slot_lists[0])
+    heights = [sl[0].shape[0] for sl in slot_lists]
+    if len(slot_lists) == 1:
+        stacked = slot_lists[0]
+    else:
+        stacked = [jnp.concatenate([sl[m] for sl in slot_lists], axis=0)
+                   for m in range(M)]
+    flat = jnp.concatenate(stacked, axis=1)               # [sum K_i, M*C]
     i1 = slotOnCell[:, 0].astype(jnp.int32) * C + cellsOnEdge[:, 0]
     i2 = slotOnCell[:, 1].astype(jnp.int32) * C + cellsOnEdge[:, 1]
-    return jnp.take(flat, i1, axis=1), jnp.take(flat, i2, axis=1)
+    g1 = jnp.take(flat, i1, axis=1)
+    g2 = jnp.take(flat, i2, axis=1)
+    outs, off = [], 0
+    for h in heights:
+        outs.append((g1[off:off + h], g2[off:off + h]))
+        off += h
+    return outs
 
 
 def cell_tangential(tanWeights, g_slots):
