@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Any, Optional
 
 
 @dataclass(frozen=True)
@@ -106,8 +106,18 @@ class Namelist:
     # stencil form is now the default: 82.6 vs 91.3 ms/step at x1.40962/41L
     # on v5e (docs/PERF.md round-3 study).
     config_cell_form_ops: bool = False
-    config_use_pallas_acoustic: bool = False  # fused Pallas acoustic column kernel
+    # fused Pallas acoustic column kernel (ops/pallas_acoustic.py):
+    # "auto" = compiled kernel on TPU backends (measured 80.4 vs 82.5
+    # ms/step at x1.40962/41L, identical trajectories), XLA path elsewhere
+    # (interpret-mode Pallas is test-only); True/False force it
+    config_use_pallas_acoustic: Any = "auto"
     config_divergence_damping: bool = True    # 3-D divergence damping
+    # cell-center velocity reconstruction coefficients: "lsq" (tangent-plane
+    # least squares, round-1/2 default) or "rbf" (inverse-multiquadric
+    # radial basis functions — the method MPAS/the reference precompute,
+    # dynamics_tasks.rg:1921-1929); compared field-for-field in
+    # tests/test_reconstruct.py
+    config_reconstruct_method: str = "lsq"
     config_smagorinsky: bool = True           # horizontal Smagorinsky/del4 mixing
 
     def replace(self, **kw) -> "Namelist":

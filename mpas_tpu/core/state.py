@@ -239,7 +239,10 @@ def mesh_arrays_from_mesh(mesh: Mesh, namelist, dtype=jnp.float32,
     dirHess = mcoef.compute_dir_hessian(mesh, deriv_two)
     tanWeights = mcoef.compute_tangential_matrix(mesh)
     slotOnCell = mcoef.compute_edge_slots(mesh)
-    coeffs_reconstruct = mcoef.compute_reconstruct_coefficients(mesh)
+    if getattr(namelist, "config_reconstruct_method", "lsq") == "rbf":
+        coeffs_reconstruct = mcoef.compute_reconstruct_coefficients_rbf(mesh)
+    else:
+        coeffs_reconstruct = mcoef.compute_reconstruct_coefficients(mesh)
     defc_a, defc_b = mcoef.compute_deformation_weights(mesh)
     ms2, ms4, msrc, msre = mcoef.compute_mesh_scaling(
         mesh, namelist.config_h_ScaleWithMesh)

@@ -132,18 +132,28 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
             ruAvg_split, wwAvg_split)
 
     # scalar transport on (rho_zz_old, ruAvg, wwAvg): the piece the reference
-    # leaves unfinished (rk_timestep.rg:465-469); monotonic FCT per MPAS
+    # leaves unfinished (rk_timestep.rg:465-469); monotonic FCT per MPAS.
+    # rho_zz holds the OLD (pre-step) density here — the split bookkeeping
+    # restored it for exactly this flux-form update.
+    rho_zz_old = state.rho_zz
+    # rediagnose the new density BEFORE microphysics: apply_kessler couples
+    # rtheta_p = rho_zz*theta_m - rtheta_base from the EOS, so feeding it the
+    # restored old density would rewrite the thermodynamic state with a
+    # mixed old-rho/new-theta product — an O(drho/dt * dt) spurious heating
+    # every step that destabilizes long moist runs (blowup in ~30 steps at
+    # 26 levels; caught by tools/moist_validation.py).
+    state = state.replace(rho_zz=state.rho_p + static.rho_base)
     if state.scalars is not None and nl.config_scalar_advection:
         from ..ops import scalars as scalar_ops
         if halo is not None:
             ruAvg = halo.edge(state.ruAvg)
-            wwAvg, rho_old = halo.cell(state.wwAvg, state.rho_zz)
+            wwAvg, rho_old = halo.cell(state.wwAvg, rho_zz_old)
             scal = state.scalars
             for i in range(scal.shape[0]):       # species-major [nS, K, C]
                 scal = scal.at[i].set(halo.cell(scal[i]))
         else:
             ruAvg, wwAvg, rho_old, scal = (state.ruAvg, state.wwAvg,
-                                           state.rho_zz, state.scalars)
+                                           rho_zz_old, state.scalars)
         scal_new, _ = scalar_ops.advance_scalars_mono(
             scal, rho_old, ruAvg, wwAvg, mesh, vert, nl, dt)
         state = state.replace(scalars=scal_new)
@@ -155,8 +165,6 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
         from ..physics import kessler as mp
         state = mp.apply_kessler(state, static, vert, nl, dt)
 
-    # rediagnose the new density after the split bookkeeping restored the old
-    state = state.replace(rho_zz=state.rho_p + static.rho_base)
     return state
 
 

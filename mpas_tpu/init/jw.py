@@ -123,7 +123,13 @@ def init_jw(mesh: Mesh, vg: VerticalGrid, nl: Namelist, deriv_two: np.ndarray):
 
         if moisture:
             ptemp = ppb + pp
-            relhum = np.clip(1.0 - ((p0 - ptemp) / 50000.0) ** 1.25, 0.0, 1.0)
+            # clamp the base before the fractional power: columns where
+            # ptemp > p0 would otherwise raise a negative number to 1.25
+            # and poison the whole iteration with NaN (the ptemp > p0
+            # branch below overwrites those entries with 1.0 anyway)
+            relhum = np.clip(
+                1.0 - (np.maximum(p0 - ptemp, 0.0) / 50000.0) ** 1.25,
+                0.0, 1.0)
             relhum = np.where(ptemp < 50000.0, 0.0, relhum)
             relhum = np.where(ptemp > p0, 1.0, relhum)
             relhum = np.minimum(RH_MAX, relhum)

@@ -355,6 +355,74 @@ def compute_reconstruct_coefficients(mesh: Mesh) -> np.ndarray:
     return coeffs * mask[..., None]
 
 
+def compute_reconstruct_coefficients_rbf(mesh: Mesh) -> np.ndarray:
+    """coeffs_reconstruct[C, maxEdges, 3] via radial-basis-function vector
+    interpolation — the method MPAS/the reference precompute
+    (dynamics_tasks.rg:1921-1929; MPAS mpas_rbf_interp_*_vec_const_dir):
+
+    model the velocity near cell c in its tangent plane as
+        u(x) = sum_j s_j phi(|x - x_j|) t_j + c0
+    over the cell's edges (x_j edge positions, t_j unit normals projected
+    into the (east, north) frame), with the inverse multiquadric kernel
+    phi(r) = 1/sqrt(1 + (r/alpha)^2), alpha = the cell's mean center->edge
+    distance (the MPAS shape parameter), and the constant 2-vector
+    augmentation c0 with moment conditions sum_j s_j t_j = 0 — the "const"
+    in MPAS's vec_const_dir, which makes constant tangent fields EXACT.
+    Collocating u(x_i).t_i = u_i gives the saddle system
+        [phi_ij (t_i.t_j)   T] [s ]   [u]
+        [T^T                0] [c0] = [0],   T_jk = t_{j,k};
+    evaluating at the cell center yields per-edge weights per component,
+    mapped back to Cartesian 3-vectors with the (east, north) frame.
+    Selectable via config_reconstruct_method = "rbf"."""
+    C, M = mesh.nCells, mesh.maxEdges
+    rc = _unit_xyz(mesh.xCell, mesh.yCell, mesh.zCell)
+    re = _unit_xyz(mesh.xEdge, mesh.yEdge, mesh.zEdge)
+    pc = np.stack([mesh.xCell, mesh.yCell, mesh.zCell], axis=-1)
+    pe = np.stack([mesh.xEdge, mesh.yEdge, mesh.zEdge], axis=-1)
+
+    # edge normal direction: cell1 -> cell2, projected tangent at the edge
+    d = pc[mesh.cellsOnEdge[:, 1]] - pc[mesh.cellsOnEdge[:, 0]]   # [E, 3]
+    d = d - np.einsum("ej,ej->e", d, re)[:, None] * re
+    nhat = d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    eoc = mesh.edgesOnCell
+    mask = mesh.edgesOnCell_mask                                   # [C, M]
+    xe = pe[eoc]                                                   # [C, M, 3]
+    ne = nhat[eoc] * mask[..., None]
+    Xc = pc[:, None, :]                                            # [C, 1, 3]
+    east, north = _east_north(rc)                                  # [C, 3]
+    t = np.stack([np.einsum("cmj,cj->cm", ne, east),
+                  np.einsum("cmj,cj->cm", ne, north)], axis=-1)    # [C, M, 2]
+
+    # IMQ kernel with per-cell shape parameter = mean center->edge distance
+    r_ce = np.linalg.norm(xe - Xc, axis=-1)                        # [C, M]
+    alpha = ((r_ce * mask).sum(axis=1)
+             / np.maximum(mask.sum(axis=1), 1.0))[:, None]
+    r_ij = np.linalg.norm(xe[:, :, None, :] - xe[:, None, :, :], axis=-1)
+    phi_ij = 1.0 / np.sqrt(1.0 + (r_ij / alpha[..., None]) ** 2)   # [C, M, M]
+
+    n = M + 2
+    A = np.zeros((C, n, n))
+    mm = mask[:, :, None] * mask[:, None, :]
+    A[:, :M, :M] = phi_ij * np.einsum("cik,cjk->cij", t, t) * mm
+    A[:, :M, M:] = t                                               # T block
+    A[:, M:, :M] = np.transpose(t, (0, 2, 1))
+    # padding slots: unit diagonal so the saddle system stays well-posed
+    padd = (1.0 - mask)
+    A[:, :M, :M] += padd[:, :, None] * np.eye(M)[None]
+
+    phi_X = 1.0 / np.sqrt(1.0 + (r_ce / alpha) ** 2)               # [C, M]
+    B = np.zeros((C, n, 2))
+    B[:, :M, :] = phi_X[..., None] * t
+    B[:, M, 0] = 1.0
+    B[:, M + 1, 1] = 1.0
+    Z = np.linalg.solve(A, B)                                      # [C, n, 2]
+    W = Z[:, :M, :]                                                # [C, M, 2]
+    coef = (W[..., 0:1] * east[:, None, :]
+            + W[..., 1:2] * north[:, None, :])                     # [C, M, 3]
+    return coef * mask[..., None]
+
+
 # ---------------------------------------------------------------------------
 # Smagorinsky deformation weights
 # ---------------------------------------------------------------------------

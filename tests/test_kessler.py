@@ -123,3 +123,25 @@ def test_moist_model_integrates(moist_model):
     assert float(s.rainnc.min()) >= 0.0
     # condensation happened somewhere
     assert float(s.scalars[1].max()) > 0.0
+
+
+def test_moist_coupling_uses_new_density():
+    """Regression for the round-3 moist-coupling fix: apply_kessler must
+    couple rtheta_p from the NEW density, not the old density the dynamics
+    split restores for scalar transport.  With the old density the EOS
+    rewrite injects an O(drho * theta) spurious perturbation every step and
+    the 26-level moist JW blows up within ~30 steps (u_max 35 -> 90+); with
+    the fix it holds the balanced jet."""
+    from mpas_tpu.dynamics.model import build_model
+    nl = Namelist(config_nvertlevels=26, config_ztop=30000.0, dtype="float32",
+                  config_dt=450.0, config_jw_u_perturbation=0.0,
+                  config_moisture=True, config_microphysics="kessler")
+    mesh = generate_mesh(levels=3, lloyd_iterations=3)
+    m = build_model(namelist=nl, mesh=mesh)
+    s = m.state
+    for _ in range(20):
+        s = m.step_fn(s)
+    u_max = float(jnp.abs(s.u).max())
+    assert not bool(jnp.any(jnp.isnan(s.u)))
+    assert u_max < 40.0, u_max
+    assert float(jnp.abs(s.w).max()) < 1.0
