@@ -49,9 +49,12 @@ def main(argv=None):
     ap.add_argument("--history-every", type=int, default=0,
                     help="record a history snapshot every N steps (the "
                          "output becomes a multi-time-level file)")
-    ap.add_argument("--log-every", type=int, default=1,
+    ap.add_argument("--log-every", type=int, default=0,
                     help="steps between summarize/NaN-check fetches (each "
-                         "fetch is a device->host sync; raise on slow links)")
+                         "fetch is a device->host sync — a full RTT on "
+                         "tunneled backends, where per-step fetches were "
+                         "measured to dominate wall-clock: 578 vs 98 ms "
+                         "device time).  Default 0 = every 10 steps.")
     ap.add_argument("--shards", type=int, default=0,
                     help="domain-decompose over N devices (0 = single device)")
     ap.add_argument("--metis", default=None, help="METIS partition file")
@@ -171,8 +174,9 @@ def main(argv=None):
                     f"{(pd['qrs'].max()*86400):.1f}] K/day")
         runner.step(1)
         # summarize forces a device->host sync (a full RTT on tunneled
-        # backends): fetch only every --log-every steps
-        if (step + 1) % max(args.log_every, 1) == 0 or step + 1 == n_steps:
+        # backends): fetch only every --log-every steps (default: every 10)
+        log_every = args.log_every if args.log_every > 0 else 10
+        if (step + 1) % log_every == 0 or step + 1 == n_steps:
             if sharded:
                 from .parallel.sharded import sharded_summarize
                 s = sharded_summarize(runner)

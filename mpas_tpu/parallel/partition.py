@@ -314,3 +314,39 @@ def remap(g2l_row: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """Remap global adjacency indices to shard-local (missing -> 0)."""
     out = g2l_row[idx]
     return np.where(out < 0, 0, out).astype(np.int32)
+
+
+def exchange_bytes_per_step(p: "ShardedPartition", nl, K: int,
+                            bytes_per_value: int = 4,
+                            n_scalars: int = 0) -> dict:
+    """Communication-volume accounting for one SRK3 step (the measurable
+    half of the halo-overlap plan, docs/NEXT.md): total payload bytes
+    crossing shard boundaries, from the exchange schedule wired into
+    dynamics/srk3.py:
+
+      - refresh_state (8 cell + 2 edge fields) at every RK-stage top:
+        3 per dynamics substep;
+      - refresh_acoustic (4 cell + 1 edge) once per acoustic substep
+        (1 + 1 + n_sub per dynamics substep);
+      - scalar refresh (n_scalars cell fields + ruAvg/wwAvg/rho) once per
+        step when transported.
+
+    Returns totals plus the per-entity single-field volumes so the redundant
+    3-ring compute can be weighed against extra mid-stage exchanges."""
+    def vol(x):     # one exchange of one [K]-deep field, all shards [bytes]
+        return float(np.asarray(x.send_mask).sum()) * K * bytes_per_value
+
+    cell_v, edge_v = vol(p.cell_x), vol(p.edge_x)
+    split = getattr(nl, "config_dynamics_split_steps", 1)
+    n_sub = getattr(nl, "config_number_of_sub_steps", 2)
+    ns_total = max(1, n_sub // 2) * 2 + n_sub
+    state_refreshes = 3 * split
+    acoustic_refreshes = ns_total * split
+    total = (state_refreshes * (8 * cell_v + 2 * edge_v)
+             + acoustic_refreshes * (4 * cell_v + 1 * edge_v))
+    if n_scalars:
+        total += (n_scalars + 2) * cell_v + edge_v
+    return dict(cell_field_bytes=cell_v, edge_field_bytes=edge_v,
+                state_refreshes=state_refreshes,
+                acoustic_refreshes=acoustic_refreshes,
+                total_bytes_per_step=total)

@@ -154,4 +154,22 @@ int64_t mpas_incident_entities(const int32_t* ent_on_cell,
   return k;
 }
 
+// ---------------------------------------------------------------------------
+// Legacy-interop escape hatch (the reference documents raw-pointer Fortran
+// physics interop, fortran/examples.rg:24-59): a stand-in "legacy column
+// scheme" written against plain raw pointers, called from inside the jitted
+// dycore via jax.pure_callback (physics/legacy.py).  Layout matches the
+// level-major device arrays: theta [K, C] row-major, theta_ref [K].
+// ---------------------------------------------------------------------------
+void legacy_column_relaxation(const double* theta, const double* theta_ref,
+                              double tau, int64_t K, int64_t C,
+                              double* tend) {
+  for (int64_t k = 0; k < K; ++k) {
+    const double ref = theta_ref[k];
+    const double* row = theta + k * C;
+    double* out = tend + k * C;
+    for (int64_t c = 0; c < C; ++c) out[c] = -(row[c] - ref) / tau;
+  }
+}
+
 }  // extern "C"
