@@ -164,7 +164,7 @@ def build_model(grid_path: str = DEFAULT_GRID,
     diags = diag_ops.compute_solve_diagnostics(
         state, marr, hollingsworth=getattr(nl, "config_hollingsworth", False),
         reconstruct_v=True,
-        cell_form=getattr(nl, "config_cell_form_ops", True),
+        cell_form=getattr(nl, "config_cell_form_ops", False),
         apvm_upwinding=getattr(nl, "config_apvm_upwinding", 0.0),
         dt=nl.config_dt / nl.config_dynamics_split_steps)
     state = state.replace(**diags)

@@ -71,7 +71,11 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
         tend = None
 
         for rk_step in range(3):
-            if rk_step > 0 and halo is not None:
+            if halo is not None and (rk_step > 0 or dynamics_substep > 1):
+                # stage-top full refresh (the step-top refresh covers the
+                # first stage of the first dynamics substep); later dynamics
+                # substeps restart from a recover output whose outer halo
+                # rings are stale under the tend-exchange scheme below
                 state = halo.refresh_state(state)
 
             # diagnostics of the current stage state (solve_diagnostics);
@@ -80,7 +84,7 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
                 state, mesh,
                 hollingsworth=getattr(nl, "config_hollingsworth", False),
                 reconstruct_v=(rk_step == 0),
-                cell_form=getattr(nl, "config_cell_form_ops", True),
+                cell_form=getattr(nl, "config_cell_form_ops", False),
                 apvm_upwinding=getattr(nl, "config_apvm_upwinding", 0.0),
                 dt=dt_dynamics)
             state = state.replace(**diags)
@@ -93,13 +97,26 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
                 coefs = ac_ops.compute_vert_imp_coefs(state, static, vert, nl,
                                                       rk_sub_timestep[rk_step])
 
-            tend = tend_ops.compute_dyn_tend(state, save, static, mesh, vert,
-                                             nl, rk_step, dt, prev=tend)
-            tend = rk_ops.set_smlstep_pert_variables(tend, static, mesh, vert,
-                                                     nl=nl)
-
             # ---- acoustic substeps ----
             ns = number_sub_steps[rk_step]
+            # Communication placement: with an n-ring halo, exchanging the
+            # TENDENCIES once per stage makes every acoustic substep (and the
+            # post-loop damping/recovery) pure local compute — each substep
+            # consumes one ring of validity and recovery one more, so owned
+            # outputs stay exact while ns + 1 <= n_rings.  The tend exchange
+            # is dataflow-independent of compute_vert_imp_coefs and the
+            # stage-constant acoustic edge pairs, so XLA's latency-hiding
+            # scheduler overlaps the collective with that compute (the
+            # BASELINE north-star overlap; tests/test_sharded.py asserts the
+            # collective count and docs/PERF.md the schedule).
+            exchange_tend = halo is not None and ns + 1 <= halo.n_rings
+
+            tend = tend_ops.compute_dyn_tend(state, save, static, mesh, vert,
+                                             nl, rk_step, dt, prev=tend)
+            if exchange_tend:
+                tend = halo.refresh_tend(tend)
+            tend = rk_ops.set_smlstep_pert_variables(tend, static, mesh, vert,
+                                                     nl=nl)
             ac = ac_ops.AcousticState(
                 ru_p=jnp.zeros_like(state.u),
                 rho_pp=jnp.zeros_like(state.rho_p),
@@ -116,7 +133,10 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
                     ac, ruAvg, wwAvg, tend, coefs, state, save, static, mesh,
                     vert, nl, rk_sub_timestep[rk_step], small_step,
                     damp_previous=nl.config_divergence_damping)
-                if halo is not None:
+                if halo is not None and not exchange_tend:
+                    # fallback (ns + 1 > n_rings): per-substep perturbation
+                    # refresh, as the halo is too shallow for redundant
+                    # substep compute
                     ac = halo.refresh_acoustic(ac)
             if nl.config_divergence_damping:
                 ac = ac_ops.divergence_damping_3d(ac, state, mesh, nl,
@@ -147,10 +167,11 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
         from ..ops import scalars as scalar_ops
         if halo is not None:
             ruAvg = halo.edge(state.ruAvg)
-            wwAvg, rho_old = halo.cell(state.wwAvg, rho_zz_old)
-            scal = state.scalars
-            for i in range(scal.shape[0]):       # species-major [nS, K, C]
-                scal = scal.at[i].set(halo.cell(scal[i]))
+            scal = state.scalars                 # species-major [nS, K, C]
+            nS, Ks, Cs = scal.shape
+            wwAvg, rho_old, scal_flat = halo.cell(
+                state.wwAvg, rho_zz_old, scal.reshape(nS * Ks, Cs))
+            scal = scal_flat.reshape(nS, Ks, Cs)
         else:
             ruAvg, wwAvg, rho_old, scal = (state.ruAvg, state.wwAvg,
                                            rho_zz_old, state.scalars)

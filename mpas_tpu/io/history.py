@@ -21,6 +21,9 @@ from ..ops import diagnostics as diag_ops
 # surface_pressure + mesh coordinates
 PLOT_LEVEL = 0
 
+# restart state-array layout: 1 = level-major [K, N] (round 3+)
+RESTART_LAYOUT_VERSION = 1
+
 
 def _snapshot_fields(model, state, full_3d: bool):
     """One time level of history fields (host numpy dict).
@@ -133,6 +136,11 @@ def save_restart(path: str, model):
         if x is not None:
             arrays[f.name] = np.asarray(x)
     arrays["__step_count__"] = np.asarray(model.step_count)
+    # layout/version marker: state arrays are level-major [K, N] since
+    # round 3 (core/state.py); load_restart refuses files without it so a
+    # pre-flip element-major checkpoint fails loudly instead of loading
+    # transposed fields
+    arrays["__layout__"] = np.asarray(RESTART_LAYOUT_VERSION)
     n_shards = getattr(model, "n_shards", 0)
     if n_shards:
         arrays["__n_shards__"] = np.asarray(n_shards)
@@ -145,6 +153,13 @@ def load_restart(path: str, model):
     sharded checkpoint requires a ShardedModel with the same shard count."""
     import jax.numpy as jnp
     data = np.load(path)
+    layout = int(data["__layout__"]) if "__layout__" in data else 0
+    if layout != RESTART_LAYOUT_VERSION:
+        raise ValueError(
+            f"restart file {path} has state layout version {layout} "
+            f"(0 = pre-level-major, unmarked); this build reads version "
+            f"{RESTART_LAYOUT_VERSION} (level-major [K, N] state). "
+            f"Regenerate the checkpoint with save_restart.")
     ck_shards = int(data["__n_shards__"]) if "__n_shards__" in data else 0
     mdl_shards = getattr(model, "n_shards", 0)
     if ck_shards != mdl_shards:

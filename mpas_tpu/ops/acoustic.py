@@ -240,7 +240,7 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
     ts = (rtheta_pp + dts * tend.tend_theta + ts0
           - resm * rdzw[:, None] * d_ctz)
 
-    use_pallas = getattr(nl, "config_use_pallas_acoustic", False)
+    use_pallas = getattr(nl, "config_use_pallas_acoustic", "auto")
     if use_pallas == "auto":
         # compiled kernel on TPU (measured 80.4 vs 82.5 ms/step at
         # x1.40962/41L); XLA path elsewhere — interpret-mode Pallas is

@@ -48,7 +48,7 @@ def advance_scalars(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
     sign_only = mesh.edgesOnCellSign
 
     # vmap over the (major) scalar axis; the species advect independently
-    cell_form = getattr(nl, "config_cell_form_ops", True)
+    cell_form = getattr(nl, "config_cell_form_ops", False)
 
     def one(q):
         if cell_form:
@@ -101,7 +101,7 @@ def advance_scalars_mono(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
         q_td = rq_td / rho_new
 
         # ---- high-order fluxes and anti-diffusive corrections ----
-        if getattr(nl, "config_cell_form_ops", True):
+        if getattr(nl, "config_cell_form_ops", False):
             fe_high = st.adv_flux_on_edge_cellform(q, flow_sign, mesh,
                                                    nl.config_coef_3rd_order)
         else:

@@ -96,7 +96,7 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
 
     sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, eoc)       # [C, M]
     sign_only = mesh.edgesOnCellSign
-    cell_form = getattr(nl, "config_cell_form_ops", True)
+    cell_form = getattr(nl, "config_cell_form_ops", False)
 
     # ---- packed cell-field edge pairs (moved ahead of the flux section so
     # the cell-form advection can use the theta/w pairs for its 2nd-order

@@ -47,11 +47,17 @@ class HaloTables:
 
 
 class HaloExchange:
-    """Bound to a shard inside shard_map; refreshes halo slots from owners."""
+    """Bound to a shard inside shard_map; refreshes halo slots from owners.
 
-    def __init__(self, tables: HaloTables, axis_name: str = "dom"):
+    `n_rings` is the halo depth the partition was built with
+    (partition.HALO_RINGS); the solver uses it to decide when redundant
+    ring compute can replace intra-loop exchanges (dynamics/srk3.py)."""
+
+    def __init__(self, tables: HaloTables, axis_name: str = "dom",
+                 n_rings: int = 3):
         self.t = tables
         self.axis = axis_name
+        self.n_rings = n_rings
 
     def _exchange(self, x, tbl: ExchangeArrays):
         """Fields are level-major [K, L] (core/state.py): the entity axis is
@@ -88,16 +94,34 @@ class HaloExchange:
             out = out.at[:, rnd.recv_slot].set(recv, mode="drop")
         return out
 
+    def _exchange_packed(self, fields, tbl: ExchangeArrays):
+        """ONE collective per refresh: all fields sharing an entity type
+        stack along the level axis into a single [sum K_i, L] buffer (the
+        same take_packed trick as ops/stencils — docs/PERF.md), so a
+        refresh_state costs 2 exchanges (cell + edge) instead of 10 and the
+        per-collective ICI latency is paid once."""
+        if len(fields) == 1:
+            return (self._exchange(fields[0], tbl),)
+        blocks = [f if f.ndim > 1 else f[None, :] for f in fields]
+        heights = [b.shape[0] for b in blocks]
+        out = self._exchange(jnp.concatenate(blocks, axis=0), tbl)
+        outs, off = [], 0
+        for f, h in zip(fields, heights):
+            o = out[off:off + h]
+            outs.append(o if f.ndim > 1 else o[0])
+            off += h
+        return tuple(outs)
+
     def cell(self, *fields):
-        out = tuple(self._exchange(f, self.t.cell) for f in fields)
+        out = self._exchange_packed(fields, self.t.cell)
         return out if len(out) > 1 else out[0]
 
     def edge(self, *fields):
-        out = tuple(self._exchange(f, self.t.edge) for f in fields)
+        out = self._exchange_packed(fields, self.t.edge)
         return out if len(out) > 1 else out[0]
 
     def vertex(self, *fields):
-        out = tuple(self._exchange(f, self.t.vertex) for f in fields)
+        out = self._exchange_packed(fields, self.t.vertex)
         return out if len(out) > 1 else out[0]
 
     # ---- solver-level bundles ----
@@ -119,3 +143,19 @@ class HaloExchange:
         ru_p = self.edge(ac.ru_p)
         return ac.replace(rho_pp=rho_pp, rtheta_pp=rtheta_pp,
                           rtheta_pp_old=rtheta_pp_old, rw_p=rw_p, ru_p=ru_p)
+
+    def refresh_tend(self, tend):
+        """Refresh the large-step tendencies once per RK stage (2 packed
+        collectives).  With tendencies valid over the FULL halo, the acoustic
+        loop needs NO exchanges at all when n_rings > number_sub_steps: each
+        substep consumes one ring of acoustic-perturbation validity and the
+        post-loop recovery one more, so owned outputs stay exact while the
+        outer-ring garbage is healed by the next stage-top refresh_state.
+        This moves every collective out of the latency-critical loop
+        (BASELINE north star; the reference relies on Legion task-graph
+        overlap here, mesh_loading.rg:399-483)."""
+        tend_w, tend_theta, tend_rho = self.cell(
+            tend.tend_w, tend.tend_theta, tend.tend_rho)
+        tend_u = self.edge(tend.tend_u)
+        return tend.replace(tend_u=tend_u, tend_w=tend_w,
+                            tend_theta=tend_theta, tend_rho=tend_rho)

@@ -59,14 +59,18 @@ def background_aerosol(naer: int = constants.naer,
                        paerlev: int = constants.nAerLevels):
     """Background sulfate-like climatology in the reference's aerosolc
     layout (aerosol_fs, data_structures.rg:631-639): cumulative column mass
-    [kg/m^2] above each hybrid interface, total burden 4 mg/m^2 split over
-    the species slots, mass concentrated in the boundary layer (hybrid
-    coordinate ~ p/ps)."""
+    [kg/m^2] BELOW each hybrid data interface — aerosolc[0] = the column
+    total at the data top, aerosolc[-1] = 0 at the data surface (the
+    convention radiation_support.vert_interpolate consumes).  Total burden
+    4 mg/m^2 split over the species slots, mass concentrated in the
+    boundary layer (hybrid coordinate ~ p/ps)."""
     m_hybi = np.linspace(0.0, 1.0, paerlev + 1)
     total = 4.0e-6                                        # kg/m^2 column
-    # mass below hybrid level eta grows like eta^2 (low-level aerosol)
-    above = total * (1.0 - m_hybi ** 2)                   # mass above interface
-    aerosolc = np.repeat(above[:, None], naer, axis=1) / naer
+    # atmospheric mass between hybrid level eta and the surface falls like
+    # 1 - eta^2 (low-level aerosol): everything is below the eta=0 top
+    # interface, nothing below the eta=1 surface interface
+    below = total * (1.0 - m_hybi ** 2)                   # mass below interface
+    aerosolc = np.repeat(below[:, None], naer, axis=1) / naer
     return m_hybi, aerosolc
 
 

@@ -29,7 +29,12 @@ def _fn():
     lib = native.load_library()
     if lib is None:
         return None
-    f = lib.legacy_column_relaxation
+    try:
+        f = lib.legacy_column_relaxation
+    except AttributeError:
+        # stale libmpas_mesh.so built before this symbol existed; treat the
+        # legacy path as unavailable rather than crashing callers/skipifs
+        return None
     f.argtypes = [ctypes.POINTER(ctypes.c_double),
                   ctypes.POINTER(ctypes.c_double), ctypes.c_double,
                   ctypes.c_int64, ctypes.c_int64,

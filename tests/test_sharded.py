@@ -119,6 +119,29 @@ def test_ppermute_matches_all_to_all(model):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_collective_count_packed(model):
+    """Communication placement (round 4): fields sharing an entity type pack
+    into ONE buffer per exchange, tendencies are exchanged once per RK stage,
+    and the acoustic loop runs with ZERO collectives (redundant ring compute).
+    Per dry step: cell/edge exchanges = 1 step-top + 2 stage-top + 3 tend = 6
+    each, vs the round-3 scheme's 40 cell + 10 edge field-exchanges (one
+    collective PER FIELD: 3 state refreshes x (8 cell + 2 edge) + 4 acoustic
+    refreshes x (4 cell + 1 edge)) — a ~4x collective-count reduction with
+    none left inside the acoustic loop."""
+    from mpas_tpu.parallel.sharded import shard_model
+    sm = shard_model(model, 8)
+    lowered = jax.jit(sm.step_fn).lower(sm.state).as_text()
+    n_cp = lowered.count("collective_permute")
+    R_c = len(sm.tables.cell.rounds)
+    R_e = len(sm.tables.edge.rounds)
+    assert R_c > 0 and R_e > 0
+    expected = 6 * R_c + 6 * R_e
+    assert n_cp == expected, (n_cp, expected, R_c, R_e)
+    round3_count = 40 * R_c + 10 * R_e
+    assert n_cp <= round3_count / 3.5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_jitted_summarize_matches_host_oracle(model):
     """The in-program pmin/pmax/psum summarize (the TPU-native replacement
     for the reference's stubbed mpas_dmpar_* reductions,
