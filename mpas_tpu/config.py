@@ -85,8 +85,24 @@ class Namelist:
     config_vertical_stretch: float = 1.5
 
     # --- initial condition ---
-    config_init_case: int = 2                 # 2 = JW baroclinic wave + u perturbation
+    # 1/2 = JW baroclinic wave (2 adds the Gaussian u perturbation);
+    # 21 = Schar mountain wave on a reduced-radius planet (DCMIP 2-x style;
+    #      set config_sphere_radius = 6371229/X and config_coriolis=False)
+    config_init_case: int = 2
     config_jw_u_perturbation: float = 1.0
+
+    # --- planet (small-planet DCMIP experiments scale the radius) ---
+    config_sphere_radius: float = 6371229.0
+    config_coriolis: bool = True              # zero fEdge/fVertex when False
+
+    # --- mountain-wave case (config_init_case == 21) ---
+    config_mtn_t0: float = 300.0              # isothermal temperature [K]
+    config_mtn_u0: float = 20.0               # zonal wind at the equator [m/s]
+    config_mtn_h0: float = 250.0              # peak height [m]
+    config_mtn_halfwidth: float = 5000.0      # Gaussian envelope d [m]
+    config_mtn_wavelength: float = 4000.0     # cos^2 ridge wavelength xi [m]
+    config_mtn_lat_center: float = 0.0        # [rad]
+    config_mtn_lon_center: float = 3.14159265358979  # [rad]
 
     # --- run control ---
     config_run_duration_steps: int = 10

@@ -251,10 +251,13 @@ def mesh_arrays_from_mesh(mesh: Mesh, namelist, dtype=jnp.float32,
     bdy_e = np.asarray(getattr(mesh, "bdyMaskEdge", np.zeros(mesh.nEdges)),
                        dtype=np.int32)
 
-    # rotated Coriolis parameter, alpha_grid = 0 (init_atm_cases.rg:595-601)
+    # rotated Coriolis parameter, alpha_grid = 0 (init_atm_cases.rg:595-601);
+    # non-rotating small-planet cases (config_coriolis=False) zero it
     from .. import constants
-    fEdge = 2.0 * constants.omega * np.sin(mesh.latEdge)
-    fVertex = 2.0 * constants.omega * np.sin(mesh.latVertex)
+    omega_pl = (constants.omega
+                if getattr(namelist, "config_coriolis", True) else 0.0)
+    fEdge = 2.0 * omega_pl * np.sin(mesh.latEdge)
+    fVertex = 2.0 * omega_pl * np.sin(mesh.latVertex)
 
     f = lambda a: jnp.asarray(a, dtype)
     i = lambda a: jnp.asarray(a, jnp.int32)

@@ -106,7 +106,7 @@ def build_model(grid_path: str = DEFAULT_GRID,
     dtype = dtype or jnp.dtype(nl.dtype)
 
     if mesh is None:
-        mesh = load_mesh(grid_path)
+        mesh = load_mesh(grid_path, sphere_radius=nl.config_sphere_radius)
     mesh.validate()
     vg = make_vertical_grid(nl.config_nvertlevels, nl.config_ztop,
                             nl.config_vertical_stretch)
@@ -124,7 +124,11 @@ def build_model(grid_path: str = DEFAULT_GRID,
     marr = core_state.mesh_arrays_from_mesh(mesh, nl, dtype, deriv_two=deriv_two)
     vert = core_state.vertical_arrays_from_grid(vg, dtype)
 
-    static_np, init_np = jw_init.init_jw(mesh, vg, nl, deriv_two)
+    if nl.config_init_case == 21:
+        from ..init import mountain_wave as mw_init
+        static_np, init_np = mw_init.init_mountain_wave(mesh, vg, nl, deriv_two)
+    else:
+        static_np, init_np = jw_init.init_jw(mesh, vg, nl, deriv_two)
     # host init builds element-major [N, K] arrays; flip to the level-major
     # device layout here (zb/zb3 become slot-major [M, K+1, C])
     f = lambda a: jnp.asarray(a, dtype)

@@ -23,6 +23,7 @@ from .. import constants
 from ..config import Namelist
 from ..core.vertical import VerticalGrid
 from ..mesh.loader import Mesh
+from . import common
 
 # JW case parameters (init_atm_cases.rg:51-70)
 U0 = 35.0
@@ -84,25 +85,10 @@ def init_jw(mesh: Mesh, vg: VerticalGrid, nl: Namelist, deriv_two: np.ndarray):
 
     # ---- terrain-following grid ----
     hx = surface_height(mesh.latCell)                               # [C]
-    zgrid = ((1.0 - vg.ah)[None, :] * (vg.sh[None, :] * (zt - hx[:, None]) + hx[:, None])
-             + (vg.ah * vg.sh * zt)[None, :])                       # [C, K+1]
-    zz = (vg.zw[1:] - vg.zw[:-1])[None, :] / (zgrid[:, 1:] - zgrid[:, :-1])  # [C, K]
-
-    # edge slope (init_atm_cases.rg:257-263), mass levels
-    zg1 = zgrid[mesh.cellsOnEdge[:, 0]]
-    zg2 = zgrid[mesh.cellsOnEdge[:, 1]]
-    zxu = (0.5 * ((zg2[:, :-1] - zg1[:, :-1]) + (zg2[:, 1:] - zg1[:, 1:]))
-           / mesh.dcEdge[:, None])                                  # [E, K]
-
-    # w-damping profile (atm_compute_damping_coefs, dynamics_tasks.rg:274-300)
+    zgrid, zz = common.terrain_grid(mesh, vg, hx)
+    zxu = common.edge_slope(mesh, zgrid)                            # [E, K]
+    dss = common.damping_profile(mesh, vg, nl, zgrid)
     zmid = 0.5 * (zgrid[:, :-1] + zgrid[:, 1:])                     # [C, K]
-    zt_cell = zgrid[:, K][:, None]
-    dss = np.where(
-        zmid > nl.config_zd,
-        nl.config_xnutr * np.sin(0.5 * np.pi * (zmid - nl.config_zd)
-                                 / np.maximum(zt_cell - nl.config_zd, 1.0)) ** 2
-        / (mesh.meshDensity[:, None] ** 0.25),
-        0.0)
 
     # ---- isothermal base state (init_atm_cases.rg:417-428) ----
     ppb = p0 * np.exp(-g * zmid / (rgas * T0B))                     # [C, K]
@@ -199,64 +185,17 @@ def init_jw(mesh: Mesh, vg: VerticalGrid, nl: Namelist, deriv_two: np.ndarray):
 
     # ---- omega metric terms zb/zb3 (init_atm_cases.rg:616-665 + the
     # 3rd-order z_edge branch via deriv_two) ----
-    third_order = nl.config_theta_adv_order in (3, 4)
-    zgc1, zgc2 = zgrid[c1], zgrid[c2]                               # [E, K+1]
-    z_edge = 0.5 * (zgc1 + zgc2)
-    z_edge3 = np.zeros_like(z_edge)
-    if third_order:
-        zg_n1 = zgrid[mesh.cellsOnCell[c1]]                         # [E, M, K+1]
-        zg_n2 = zgrid[mesh.cellsOnCell[c2]]
-        m1 = mesh.edgesOnCell_mask[c1][:, :, None]
-        m2 = mesh.edgesOnCell_mask[c2][:, :, None]
-        d2_1 = (deriv_two[:, 0, 0][:, None] * zgc1
-                + np.einsum("em,emk->ek", deriv_two[:, 0, 1:] * m1[..., 0], zg_n1))
-        d2_2 = (deriv_two[:, 1, 0][:, None] * zgc2
-                + np.einsum("em,emk->ek", deriv_two[:, 1, 1:] * m2[..., 0], zg_n2))
-        z_edge = z_edge - (mesh.dcEdge ** 2)[:, None] * (d2_1 + d2_2) / 12.0
-        if nl.config_theta_adv_order == 3:
-            z_edge3 = -(mesh.dcEdge ** 2)[:, None] * (d2_1 - d2_2) / 12.0
-
-    dv_area1 = (mesh.dvEdge / mesh.areaCell[c1])[:, None]
-    dv_area2 = (mesh.dvEdge / mesh.areaCell[c2])[:, None]
-    zb = np.stack([(z_edge - zgc1) * dv_area1,
-                   (z_edge - zgc2) * dv_area2], axis=-1)            # [E, K+1, 2]
-    zb3 = np.stack([z_edge3 * dv_area1, z_edge3 * dv_area2], axis=-1)
+    zb, zb3 = common.omega_metrics(mesh, nl, deriv_two, zgrid)
 
     # ---- initial rw and diagnosed w (init_atm_cases.rg:668-704, using the
     # init_coupled/recover-consistent metric sign) ----
-    flux_i = np.zeros((E, K + 1))
-    flux_i[:, 1:K] = vg.fzm[1:K] * ru[:, 1:] + vg.fzp[1:K] * ru[:, :-1]
-    szz = zz
-    zz_i = np.zeros((C, K + 1))
-    zz_i[:, 1:K] = vg.fzm[1:K] * szz[:, 1:] + vg.fzp[1:K] * szz[:, :-1]
-    rho_i = np.zeros((C, K + 1))
-    rho_i[:, 1:K] = (vg.fzm[1:K] * rho_zz_coupled[:, 1:]
-                     + vg.fzp[1:K] * rho_zz_coupled[:, :-1])
-
-    coef3 = nl.config_coef_3rd_order if third_order else 0.0
-    s = np.sign(flux_i)
-    rw = np.zeros((C, K + 1))
-    # scatter-add per edge side (host-side, init only)
-    contrib2 = zz_i[c2] * (zb[:, :, 1] + s * coef3 * zb3[:, :, 1]) * flux_i
-    contrib1 = zz_i[c1] * (zb[:, :, 0] + s * coef3 * zb3[:, :, 0]) * flux_i
-    np.add.at(rw, c2, contrib2)
-    np.add.at(rw, c1, -contrib1)
-
-    w = np.zeros((C, K + 1))
-    w[:, 1:K] = rw[:, 1:K] / rho_i[:, 1:K]
+    rw, w = common.initial_rw_w(mesh, vg, nl, zz, rho_zz_coupled, ru, zb, zb3)
 
     # tangential winds (init_atm_cases.rg:710-723)
-    u_eoe = u[mesh.edgesOnEdge]                                     # [E, W2, K]
-    v = np.einsum("ew,ewk->ek", mesh.weightsOnEdge * mesh.edgesOnEdge_mask, u_eoe)
+    v = common.tangential_v(mesh, u)
 
     # zb_cell/zb3_cell (atm_compute_signs + atm_couple_coef_3rd_order)
-    eoc = mesh.edgesOnCell
-    first = (mesh.cellsOnEdge[eoc, 0] == np.arange(C, dtype=np.int32)[:, None])
-    side = np.where(first, 0, 1)[..., None]                         # [C, M, 1]
-    zb_cell = np.take_along_axis(zb[eoc], side[:, :, None, :], axis=3)[..., 0]
-    zb3_cell = np.take_along_axis(zb3[eoc], side[:, :, None, :], axis=3)[..., 0]
-    zb_cell *= mesh.edgesOnCell_mask[:, :, None]
-    zb3_cell *= mesh.edgesOnCell_mask[:, :, None] * nl.config_coef_3rd_order
+    zb_cell, zb3_cell = common.zb_cell_tables(mesh, nl, zb, zb3)
 
     # exner_base from the equation of state (consistent with the dycore)
     rcv = constants.rcv

@@ -87,16 +87,21 @@ def save_grid(mesh: Mesh, path: str):
     return path
 
 
-def generate_and_cache(levels: int, cache_dir: str = None, **kw) -> Mesh:
-    """Generate (or load a cached) CVT mesh of the given refinement level."""
+def generate_and_cache(levels: int, cache_dir: str = None,
+                       sphere_radius: float = None, **kw) -> Mesh:
+    """Generate (or load a cached) CVT mesh of the given refinement level.
+    `sphere_radius` scales the unit-sphere cache on load (small-planet
+    DCMIP-style cases pass 6371229/X)."""
     import os
     from .generator import generate_mesh
+    from .. import constants
     cache_dir = cache_dir or os.path.expanduser("~/.cache/mpas_tpu_meshes")
     os.makedirs(cache_dir, exist_ok=True)
     n = 10 * 4 ** levels + 2
     path = os.path.join(cache_dir, f"x1.{n}.grid.nc")
+    radius = sphere_radius or constants.sphere_radius
     if os.path.exists(path):
-        return load_mesh(path)
-    mesh = generate_mesh(levels=levels, **kw)
+        return load_mesh(path, sphere_radius=radius)
+    mesh = generate_mesh(levels=levels, sphere_radius=radius, **kw)
     save_grid(mesh, path)
     return mesh

@@ -90,7 +90,9 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     fzm, fzp, rdzw, rdzu = vert.fzm, vert.fzp, vert.rdzw, vert.rdzu
     coe = mesh.cellsOnEdge
     eoc = mesh.edgesOnCell
-    inv_r_earth = 1.0 / constants.sphere_radius
+    inv_r_earth = 1.0 / getattr(nl, "config_sphere_radius",
+                                constants.sphere_radius)
+    omega_pl = constants.omega if getattr(nl, "config_coriolis", True) else 0.0
     prandtl_inv = 1.0 / constants.prandtl
     invDt = 1.0 / dt
 
@@ -250,7 +252,7 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     # curvature terms for the sphere (dynamics_tasks.rg:1009-1018)
     if nl.config_curvature:
         w_avg = 0.25 * (w1[:-1] + w1[1:] + w2[:-1] + w2[1:])           # [K, E]
-        tend_u = tend_u - (2.0 * constants.omega * jnp.cos(mesh.angleEdge)
+        tend_u = tend_u - (2.0 * omega_pl * jnp.cos(mesh.angleEdge)
                            * jnp.cos(mesh.latEdge))[None, :] * state.rho_edge * w_avg \
             - state.u * w_avg * state.rho_edge * inv_r_earth
 
@@ -371,7 +373,7 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
         ur_i = st.interface_interp(state.uReconstructZonal, fzm, fzp)
         vr_i = st.interface_interp(state.uReconstructMeridional, fzm, fzp)
         curv = (rho_i * (ur_i ** 2 + vr_i ** 2) * inv_r_earth
-                + 2.0 * constants.omega * jnp.cos(mesh.latCell)[None, :] * ur_i * rho_i)
+                + 2.0 * omega_pl * jnp.cos(mesh.latCell)[None, :] * ur_i * rho_i)
         tend_w = tend_w + curv
 
     if rk_step == 0:

@@ -93,6 +93,56 @@ def test_ten_step_evolution_matches_jw_published(ref10_model):
     assert drift < 400.0, drift              # Pa; JW06 linear phase
 
 
+PSMIN_SERIES = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                            "validation", "jw_psmin_series.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(PSMIN_SERIES),
+                    reason="ps_min series artifact not generated")
+class TestJW06PressureTrajectory:
+    """Day-resolved minimum-surface-pressure trajectory of the 15-day run
+    (tools/jw06_timeseries.py) against the published JW06 evolution
+    (Jablonowski & Williamson QJRMS 2006, the min-ps-vs-day figures):
+    a quasi-steady phase through ~day 4-6, explosive baroclinic deepening
+    after ~day 7, and a deep (<960 hPa) cyclone by mid-run.  Bounds are
+    coarse envelopes of the published curves (the paper shows ~0.5-1 hPa
+    deviation through day 4 and O(40 hPa) deepening by day 10 at converged
+    resolution; at 480 km the growth is delayed and weakened, which the
+    bands accommodate), not digitized data — MPAS-Fortran cannot run here,
+    so this is the strongest external trajectory check available."""
+
+    @pytest.fixture(scope="class")
+    def series(self):
+        d = np.load(PSMIN_SERIES)
+        return d["day"], d["ps_min"]
+
+    def test_linear_phase_quiet(self, series):
+        day, ps = series
+        dev = np.abs(ps[:5] - ps[0])
+        assert dev.max() < 500.0, dev          # Pa; JW06 ~<1 hPa through day 4
+
+    def test_growth_phase_timing(self, series):
+        day, ps = series
+        # still moderate at day 6, clearly developed by day 12
+        assert abs(ps[6] - ps[0]) < 2500.0, ps[6] - ps[0]
+        assert ps[0] - ps[12:].min() > 500.0, ps[0] - ps[12:].min()
+
+    def test_deepening_monotone(self, series):
+        """From day 8 to the trajectory minimum the low deepens
+        monotonically (within 150 Pa/day noise) — the signature shape of
+        the published curves."""
+        day, ps = series
+        imin = int(np.argmin(ps))
+        assert 8 <= imin <= len(ps) - 1, imin
+        seg = ps[8:imin + 1]
+        assert np.all(np.diff(seg) < 150.0), seg
+
+    def test_deep_but_bounded_cyclone(self, series):
+        day, ps = series
+        assert ps.min() < 96000.0, ps.min()    # deep low developed
+        assert ps.min() > 90000.0, ps.min()    # not runaway
+
+
 @pytest.mark.skipif(not os.path.exists(DAY15),
                     reason="day-15 artifact not generated")
 class TestDay15:
