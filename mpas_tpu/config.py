@@ -64,7 +64,7 @@ class Namelist:
     # --- moisture / scalars ---
     config_moisture: bool = False
     config_scalar_advection: bool = False
-    config_microphysics: str = "off"          # "off" | "kessler"
+    config_microphysics: str = "off"          # "off" | "kessler" | "wsm6lite"
     config_kessler_nfall: int = 0             # 0 = auto from dt & min layer depth
 
     # --- diagnostics/printing (constants.rg:67-69) ---

@@ -139,8 +139,9 @@ def build_model(grid_path: str = DEFAULT_GRID,
            for k, v in static_np.items()})
 
     C, E, V, K = mesh.nCells, mesh.nEdges, mesh.nVertices, vg.nVertLevels
-    use_mp = nl.config_microphysics == "kessler"
-    n_scalars = 3 if use_mp else (1 if nl.config_moisture else 0)
+    use_mp = nl.config_microphysics in ("kessler", "wsm6lite")
+    n_scalars = ({"kessler": 3, "wsm6lite": 5}.get(nl.config_microphysics, 0)
+                 or (1 if nl.config_moisture else 0))
     if use_mp and not nl.config_scalar_advection:
         # microphysics requires transported moisture species
         nl = nl.replace(config_scalar_advection=True)

@@ -185,6 +185,10 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
             and state.scalars.shape[0] >= 3):
         from ..physics import kessler as mp
         state = mp.apply_kessler(state, static, vert, nl, dt)
+    elif (nl.config_microphysics == "wsm6lite" and state.scalars is not None
+            and state.scalars.shape[0] >= 5):
+        from ..physics import wsm6 as mp6
+        state = mp6.apply_wsm6(state, static, vert, nl, dt)
 
     return state
 
