@@ -318,35 +318,49 @@ def remap(g2l_row: np.ndarray, idx: np.ndarray) -> np.ndarray:
 
 def exchange_bytes_per_step(p: "ShardedPartition", nl, K: int,
                             bytes_per_value: int = 4,
-                            n_scalars: int = 0) -> dict:
-    """Communication-volume accounting for one SRK3 step (the measurable
-    half of the halo-overlap plan, docs/NEXT.md): total payload bytes
-    crossing shard boundaries, from the exchange schedule wired into
-    dynamics/srk3.py:
+                            n_scalars: int = 0,
+                            halo_rings: int = HALO_RINGS) -> dict:
+    """Communication accounting for one SRK3 step under the ROUND-4
+    schedule wired into dynamics/srk3.py (packed exchanges; tendencies
+    exchanged once per RK stage; acoustic loop collective-free while
+    ns + 1 <= halo rings):
 
-      - refresh_state (8 cell + 2 edge fields) at every RK-stage top:
-        3 per dynamics substep;
-      - refresh_acoustic (4 cell + 1 edge) once per acoustic substep
-        (1 + 1 + n_sub per dynamics substep);
-      - scalar refresh (n_scalars cell fields + ruAvg/wwAvg/rho) once per
-        step when transported.
+      - refresh_state (8 cell + 2 edge fields, packed into 2 collectives)
+        at every RK-stage top: 3 per dynamics substep;
+      - refresh_tend (3 cell + 1 edge, 2 collectives) once per RK stage,
+        OR the legacy per-acoustic-substep refresh_acoustic (4 cell +
+        1 edge) for stages whose substep count exceeds the halo depth;
+      - scalar refresh (n_scalars + 2 cell fields + 1 edge, 2 collectives)
+        once per step when transported.
 
-    Returns totals plus the per-entity single-field volumes so the redundant
-    3-ring compute can be weighed against extra mid-stage exchanges."""
+    Returns totals, exchange/collective counts, and the per-entity
+    single-field volumes (tools/scaling_budget.py turns these into the
+    projected weak-scaling model in docs/PERF.md)."""
     def vol(x):     # one exchange of one [K]-deep field, all shards [bytes]
         return float(np.asarray(x.send_mask).sum()) * K * bytes_per_value
 
     cell_v, edge_v = vol(p.cell_x), vol(p.edge_x)
     split = getattr(nl, "config_dynamics_split_steps", 1)
     n_sub = getattr(nl, "config_number_of_sub_steps", 2)
-    ns_total = max(1, n_sub // 2) * 2 + n_sub
+    stage_ns = [max(1, n_sub // 2), max(1, n_sub // 2), n_sub]
     state_refreshes = 3 * split
-    acoustic_refreshes = ns_total * split
+    tend_refreshes = sum(1 for ns in stage_ns if ns + 1 <= halo_rings) * split
+    acoustic_refreshes = sum(ns for ns in stage_ns
+                             if ns + 1 > halo_rings) * split
     total = (state_refreshes * (8 * cell_v + 2 * edge_v)
+             + tend_refreshes * (3 * cell_v + 1 * edge_v)
              + acoustic_refreshes * (4 * cell_v + 1 * edge_v))
+    exchanges = 2 * (state_refreshes + tend_refreshes + acoustic_refreshes)
     if n_scalars:
         total += (n_scalars + 2) * cell_v + edge_v
+        exchanges += 2
+    rounds_c = len(p.cell_x.rounds or []) or 1
+    rounds_e = len(p.edge_x.rounds or []) or 1
+    collectives = (exchanges // 2) * (rounds_c + rounds_e)
     return dict(cell_field_bytes=cell_v, edge_field_bytes=edge_v,
                 state_refreshes=state_refreshes,
+                tend_refreshes=tend_refreshes,
                 acoustic_refreshes=acoustic_refreshes,
+                packed_exchanges=exchanges, collectives=collectives,
+                rounds_cell=rounds_c, rounds_edge=rounds_e,
                 total_bytes_per_step=total)
