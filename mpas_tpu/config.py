@@ -122,6 +122,13 @@ class Namelist:
     # stencil form is now the default: 82.6 vs 91.3 ms/step at x1.40962/41L
     # on v5e (docs/PERF.md round-3 study).
     config_cell_form_ops: bool = False
+    # RCM locality renumbering of the mesh at model build (mesh/renumber.py):
+    # a pure relabeling (trajectories are the original with permuted columns,
+    # tests/test_renumber.py) that compresses every stencil's per-block index
+    # spans ~50x, enabling the windowed gather-reduce kernels and improving
+    # XLA gather locality.  Off by default so checked-in golden trajectories
+    # keep their original column order.
+    config_renumber_mesh: bool = False
     # fused Pallas acoustic column kernel (ops/pallas_acoustic.py):
     # "auto" = compiled kernel on TPU backends (measured 80.4 vs 82.5
     # ms/step at x1.40962/41L, identical trajectories), XLA path elsewhere

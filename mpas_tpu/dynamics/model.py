@@ -107,6 +107,9 @@ def build_model(grid_path: str = DEFAULT_GRID,
 
     if mesh is None:
         mesh = load_mesh(grid_path, sphere_radius=nl.config_sphere_radius)
+    if nl.config_renumber_mesh:
+        from ..mesh.renumber import renumber_mesh
+        mesh, _ = renumber_mesh(mesh)
     mesh.validate()
     vg = make_vertical_grid(nl.config_nvertlevels, nl.config_ztop,
                             nl.config_vertical_stretch)
