@@ -259,8 +259,14 @@ def mesh_arrays_from_mesh(mesh: Mesh, namelist, dtype=jnp.float32,
     fEdge = 2.0 * omega_pl * np.sin(mesh.latEdge)
     fVertex = 2.0 * omega_pl * np.sin(mesh.latVertex)
 
-    f = lambda a: jnp.asarray(a, dtype)
-    i = lambda a: jnp.asarray(a, jnp.int32)
+    # HOST (numpy) arrays on purpose: the step jit closes over these as
+    # constants, and numpy constants embed directly at trace time.  Device-
+    # resident (jnp) constants instead get FETCHED back through the runtime
+    # during lowering (437 s over the remote-TPU tunnel at x1.40962) and
+    # compile as runtime parameters, losing constant folding/pre-layout
+    # worth ~12 ms/step (80.5 -> 68.4 ms measured; docs/PERF.md round 4).
+    f = lambda a: np.asarray(a, dtype)
+    i = lambda a: np.asarray(a, np.int32)
     return MeshArrays(
         cellsOnEdge=i(mesh.cellsOnEdge), verticesOnEdge=i(mesh.verticesOnEdge),
         edgesOnCell=i(mesh.edgesOnCell), cellsOnCell=i(mesh.cellsOnCell),
@@ -295,11 +301,11 @@ def mesh_arrays_from_mesh(mesh: Mesh, namelist, dtype=jnp.float32,
 
 
 def vertical_arrays_from_grid(vg: VerticalGrid, dtype=jnp.float32) -> VerticalArrays:
-    f = lambda a: jnp.asarray(a, dtype)
+    f = lambda a: np.asarray(a, dtype)       # host constants (see above)
     return VerticalArrays(
         rdzw=f(vg.rdzw), dzw=f(vg.dzw), rdzu=f(vg.rdzu),
         fzm=f(vg.fzm), fzp=f(vg.fzp), zw=f(vg.zw),
-        cf1=jnp.asarray(vg.cf1, dtype), cf2=jnp.asarray(vg.cf2, dtype),
-        cf3=jnp.asarray(vg.cf3, dtype),
+        cf1=np.asarray(vg.cf1, dtype), cf2=np.asarray(vg.cf2, dtype),
+        cf3=np.asarray(vg.cf3, dtype),
         u_init=f(vg.u_init), v_init=f(vg.v_init),
     )

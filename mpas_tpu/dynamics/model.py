@@ -133,10 +133,11 @@ def build_model(grid_path: str = DEFAULT_GRID,
     else:
         static_np, init_np = jw_init.init_jw(mesh, vg, nl, deriv_two)
     # host init builds element-major [N, K] arrays; flip to the level-major
-    # device layout here (zb/zb3 become slot-major [M, K+1, C])
-    f = lambda a: jnp.asarray(a, dtype)
-    fT = lambda a: jnp.asarray(np.asarray(a).T, dtype)
-    fz = lambda a: jnp.asarray(np.moveaxis(np.asarray(a), 0, 2), dtype)
+    # layout here (zb/zb3 become slot-major [M, K+1, C]).  Statics stay HOST
+    # numpy so the step jit embeds them as true constants (state.py note).
+    f = lambda a: np.asarray(a, dtype)
+    fT = lambda a: np.asarray(np.asarray(a).T, dtype)
+    fz = lambda a: np.asarray(np.moveaxis(np.asarray(a), 0, 2), dtype)
     static = core_state.StaticState(
         **{k: (fz(v) if k in ("zb_cell", "zb3_cell") else fT(v))
            for k, v in static_np.items()})

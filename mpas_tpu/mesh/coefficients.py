@@ -186,7 +186,10 @@ def compute_advection_coefficients(mesh: Mesh, deriv_two: np.ndarray,
     if adv_cells.shape[1] < S:                                # hex meshes: W < 15
         adv_cells = np.pad(adv_cells, ((0, 0), (0, S - adv_cells.shape[1])))
     slot_mask = np.arange(S)[None, :] < n_adv[:, None]
-    adv_cells = np.where(slot_mask, adv_cells, 0).astype(np.int32)
+    # padded slots repoint at the edge's own cell1 (zero-weighted): a global
+    # index-0 pad would destroy the per-block index locality the windowed
+    # kernels and the gather engine's spatial locality rely on
+    adv_cells = np.where(slot_mask, adv_cells, cell1[:, None]).astype(np.int32)
 
     # accumulate deriv_two contributions into matching stencil slots
     coefs = np.zeros((E, S))

@@ -130,17 +130,23 @@ class ShardedModel:
 
     def gather_state(self, model_mesh) -> dict:
         """Collect owned entries back into global arrays (host-side).
-        Single-process only; in multi-host runs each process verifies its
-        addressable shards instead (tools/multihost_demo.py)."""
+
+        Multi-host runs first allgather every process's addressable shard
+        blocks over DCN (jax.experimental.multihost_utils), so every process
+        returns the same full global arrays — the path history/restart
+        output takes on a real pod slice (verified cross-process in
+        tools/multihost_demo.py)."""
+        state = self.state
         if jax.process_count() > 1:
-            raise NotImplementedError(
-                "gather_state needs fully-addressable arrays; use per-process "
-                "shard checks in multi-host runs")
+            from jax.experimental import multihost_utils
+            state = jax.tree.map(
+                lambda x: multihost_utils.process_allgather(x, tiled=True),
+                state)
         p = self.partition
         out = {}
         C, E, V = model_mesh.nCells, model_mesh.nEdges, model_mesh.nVertices
-        for f in dataclasses.fields(self.state):
-            x = getattr(self.state, f.name)
+        for f in dataclasses.fields(state):
+            x = getattr(state, f.name)
             if x is None:
                 out[f.name] = None
                 continue

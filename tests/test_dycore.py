@@ -15,8 +15,9 @@ def _rest_state(model):
     z = jnp.zeros_like
     base = st.replace(
         u=z(st.u), ru=z(st.ru), v=z(st.v), w=z(st.w), rw=z(st.rw),
-        theta_m=static.theta_base, rho_zz=static.rho_base, rho_p=z(st.rho_p),
-        rtheta_p=z(st.rtheta_p), exner=static.exner_base,
+        theta_m=jnp.asarray(static.theta_base),       # statics are host numpy
+        rho_zz=jnp.asarray(static.rho_base), rho_p=z(st.rho_p),
+        rtheta_p=z(st.rtheta_p), exner=jnp.asarray(static.exner_base),
         pressure_p=z(st.pressure_p),
         uReconstructZonal=z(st.ke), uReconstructMeridional=z(st.ke))
     return base.replace(**D.compute_solve_diagnostics(base, model.mesh_arrays,

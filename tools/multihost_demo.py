@@ -83,8 +83,18 @@ def worker(pid: int):
             n_checked += 1
     s = sharded_summarize(sm)
     assert not s["nan_detected"], s
-    print(f"process {pid}: checked {n_checked} owned shard blocks; "
-          f"summarize u_max={s['u_max']:.4f}", flush=True)
+
+    # cross-process gather_state: every process reassembles the SAME full
+    # global arrays (process_allgather over the DCN stand-in) and they match
+    # the single-device reference — the multi-host history/restart path
+    g = sm.gather_state(m.mesh)
+    for name in ("u", "w", "theta_m", "rho_zz"):
+        a_ref = np.asarray(getattr(ref, name))
+        scale = np.abs(a_ref).max() + 1e-30
+        err = np.abs(g[name] - a_ref).max() / scale
+        assert err < 5e-4, ("gather_state", name, err)
+    print(f"process {pid}: checked {n_checked} owned shard blocks + full "
+          f"gather_state; summarize u_max={s['u_max']:.4f}", flush=True)
     if pid == 0:
         print("MULTIHOST OK", flush=True)
 
