@@ -79,13 +79,19 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
                 state = halo.refresh_state(state)
 
             # diagnostics of the current stage state (solve_diagnostics);
-            # the cell-center reconstruction feeds the curvature terms
+            # the cell-center reconstruction feeds the curvature terms.
+            # In stencil form (apvm off) the tangential velocity comes from
+            # compute_dyn_tend's Coriolis reduce instead (bitwise the same
+            # sum, one 10-slot edgesOnEdge reduction saved per step).
+            cell_form = getattr(nl, "config_cell_form_ops", False)
+            apvm = getattr(nl, "config_apvm_upwinding", 0.0)
+            v_from_tend = (not cell_form) and apvm == 0.0
             diags = diag_ops.compute_solve_diagnostics(
                 state, mesh,
                 hollingsworth=getattr(nl, "config_hollingsworth", False),
-                reconstruct_v=(rk_step == 0),
-                cell_form=getattr(nl, "config_cell_form_ops", False),
-                apvm_upwinding=getattr(nl, "config_apvm_upwinding", 0.0),
+                reconstruct_v=(rk_step == 0 and not v_from_tend),
+                cell_form=cell_form,
+                apvm_upwinding=apvm,
                 dt=dt_dynamics)
             state = state.replace(**diags)
             if rk_step == 0:
@@ -113,6 +119,9 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
 
             tend = tend_ops.compute_dyn_tend(state, save, static, mesh, vert,
                                              nl, rk_step, dt, prev=tend)
+            if rk_step == 0 and v_from_tend and tend.v is not None:
+                # same refresh cadence as the old reconstruct_v=(rk_step==0)
+                state = state.replace(v=tend.v)
             if exchange_tend:
                 tend = halo.refresh_tend(tend)
             tend = rk_ops.set_smlstep_pert_variables(tend, static, mesh, vert,

@@ -143,11 +143,14 @@ def acoustic_column_update(rs0, ts0, ac_rho_pp, ac_rtheta_pp, ac_rw_p, wwAvg,
             spec(K), spec(K + 1), spec(K + 1), spec(K + 1), spec(K + 1),
         ],
         out_specs=(spec(K), spec(K), spec(K + 1), spec(K + 1)),
+        # outputs vary over whatever mesh axes the inputs vary over (vma is
+        # required for pallas_call under shard_map's varying-axis checking —
+        # the sharded TPU path maps this kernel over the 'dom' axis)
         out_shape=(
-            jax.ShapeDtypeStruct((K, C), dtype),
-            jax.ShapeDtypeStruct((K, C), dtype),
-            jax.ShapeDtypeStruct((K + 1, C), dtype),
-            jax.ShapeDtypeStruct((K + 1, C), dtype),
+            jax.ShapeDtypeStruct((K, C), dtype, vma=jax.typeof(rs0).vma),
+            jax.ShapeDtypeStruct((K, C), dtype, vma=jax.typeof(rs0).vma),
+            jax.ShapeDtypeStruct((K + 1, C), dtype, vma=jax.typeof(rs0).vma),
+            jax.ShapeDtypeStruct((K + 1, C), dtype, vma=jax.typeof(rs0).vma),
         ),
         interpret=interpret,
     )(rs0, ts0, ac_rho_pp, ac_rtheta_pp, ac_rw_p, wwAvg,

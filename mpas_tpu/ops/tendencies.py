@@ -61,14 +61,20 @@ class Tend:
     dpdz: Any            # [K, C]
     # diagnostics for physics couplings
     rthdynten: Any       # [K, C]
+    # tangential velocity (stencil form): the Coriolis term's weighted
+    # edgesOnEdge sum of u IS Thuburn's v, so the reduce is shared with
+    # compute_solve_diagnostics instead of being done twice (never
+    # halo-exchanged: computed redundantly over the rings from fresh u)
+    v: Any = None        # [K, E]
 
 
-def _smagorinsky_kdiff(state, mesh, nl, invDt):
+def _smagorinsky_kdiff(state, mesh, nl, invDt, v=None):
     """Horizontal Smagorinsky eddy viscosity (dynamics_tasks.rg:858-916);
     one stacked [C, M]-slot gather serves u and v."""
+    v = state.v if v is None else v
     (ua, ub), (vb, va) = st.slot_reduce(
         mesh.edgesOnCell, [(state.u, [mesh.defc_a, mesh.defc_b]),
-                           (state.v, [mesh.defc_b, mesh.defc_a])])
+                           (v, [mesh.defc_b, mesh.defc_a])])
     d_diag = ua - vb
     d_off = ub + va
     c_s = nl.config_smagorinsky_coef
@@ -100,6 +106,20 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     sign_only = mesh.edgesOnCellSign
     cell_form = getattr(nl, "config_cell_form_ops", False)
 
+    # ---- nonlinear Coriolis edgesOnEdge reduction, hoisted ahead of the
+    # Smagorinsky call: its weighted sum of u IS the Thuburn tangential
+    # velocity (diagnostics.compute_solve_diagnostics), so one stacked
+    # reduce serves q, v, and the deformation inputs (stencil form only;
+    # returned in Tend.v and applied to state by the caller) ----
+    if not cell_form:
+        W_eoe = mesh.weightsOnEdge * mesh.edgesOnEdge_mask
+        ((su,), (supv,)) = st.slot_reduce(
+            mesh.edgesOnEdge, [(state.u, [W_eoe]),
+                               (state.u * state.pv_edge, [W_eoe])])
+        v_tan = su
+    else:
+        su = supv = v_tan = None
+
     # ---- packed cell-field edge pairs (moved ahead of the flux section so
     # the cell-form advection can use the theta/w pairs for its 2nd-order
     # part) ----
@@ -108,7 +128,7 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     if rk_step == 0:
         kdiff0 = (jnp.zeros_like(state.theta_m)
                   if nl.config_horiz_mixing == "2d_fixed"
-                  else _smagorinsky_kdiff(state, mesh, nl, invDt))
+                  else _smagorinsky_kdiff(state, mesh, nl, invDt, v=v_tan))
         zero_row_c = jnp.zeros((1, C), kdiff0.dtype)
         kdiff_i = jnp.concatenate(
             [zero_row_c, 0.5 * (kdiff0[1:] + kdiff0[:-1]), zero_row_c],
@@ -145,11 +165,22 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
                                      + jnp.sign(ru_edge_w) * c3 * (D1w - D2w)))
     else:
         # stencil form: advCellsForEdge slot reductions over narrow [K, C]
-        # tables (~2 ns per gathered column — see docs/PERF.md)
+        # tables (~2 ns per gathered column — see docs/PERF.md).  Slots 0/1
+        # are cell1/cell2 by construction (mesh/coefficients.py candidate
+        # order) and their theta/w values are already gathered as the edge
+        # pairs above — reduce only the neighbor slots and add the pair
+        # terms directly (20% fewer gathered columns; reassociation only).
+        a2 = mesh.advCellsForEdge[:, 2:]
+        c_n, c3_n = mesh.adv_coefs[:, 2:], mesh.adv_coefs_3rd[:, 2:]
         ((bt, tt), (bw, tw)) = st.slot_reduce(
-            mesh.advCellsForEdge,
-            [(state.theta_m, [mesh.adv_coefs, mesh.adv_coefs_3rd]),
-             (state.w, [mesh.adv_coefs, mesh.adv_coefs_3rd])])
+            a2, [(state.theta_m, [c_n, c3_n]), (state.w, [c_n, c3_n])])
+        c0, c1 = mesh.adv_coefs[:, 0][None, :], mesh.adv_coefs[:, 1][None, :]
+        d0, d1 = (mesh.adv_coefs_3rd[:, 0][None, :],
+                  mesh.adv_coefs_3rd[:, 1][None, :])
+        bt = c0 * tm1 + c1 * tm2 + bt
+        tt = d0 * tm1 + d1 * tm2 + tt
+        bw = c0 * w1 + c1 * w2 + bw
+        tw = d0 * w1 + d1 * w2 + tw
         flux_arr_t = bt + jnp.sign(state.ru) * tt
         flux_arr_w = bw + jnp.sign(ru_edge_w) * tw
 
@@ -231,13 +262,9 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
         tupv1, tupv2 = st.edge_slot_pair(t_upv, coe, mesh.slotOnCell)
         q = 0.5 * state.pv_edge * (tu1 + tu2) + 0.5 * (tupv1 + tupv2)
     else:
-        # u and u*pv share the edgesOnEdge slot gathers; the 0.5*(pv_e +
-        # pv_eoe) average splits into the two weighted sums (same algebraic
-        # split as the cell form)
-        W = mesh.weightsOnEdge * mesh.edgesOnEdge_mask
-        ((su,), (supv,)) = st.slot_reduce(
-            mesh.edgesOnEdge, [(state.u, [W]),
-                               (state.u * state.pv_edge, [W])])
+        # u and u*pv shared the edgesOnEdge slot gathers (hoisted above);
+        # the 0.5*(pv_e + pv_eoe) average splits into the two weighted sums
+        # (same algebraic split as the cell form)
         q = 0.5 * state.pv_edge * su + 0.5 * supv
 
     if "q" in _DEBUG_DISABLE:
@@ -425,4 +452,4 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
                 tend_rho=tend_rho, h_divergence=h_divergence,
                 tend_u_euler=tend_u_euler, tend_w_euler=tend_w_euler,
                 tend_theta_euler=tend_theta_euler, kdiff=kdiff, dpdz=dpdz,
-                rthdynten=rthdynten)
+                rthdynten=rthdynten, v=v_tan)

@@ -292,8 +292,10 @@ def shard_model(model, n_shards: int, metis_path: str | None = None,
     return sm
 
 
-def make_sharded_step(sm: ShardedModel, dt: float):
-    nl = sm.namelist
+def _sharded_step_jit(nl, dt: float, jax_mesh):
+    """The jitted shard_map'd SRK3 step over `jax_mesh`, taking every operand
+    as an argument (multi-host arrays spanning non-addressable devices cannot
+    be closed over; and argument form enables deviceless topology AOT)."""
     sq = lambda t: jax.tree.map(lambda x: x[0], t)
     ex = lambda t: jax.tree.map(lambda x: x[None], t)
 
@@ -304,18 +306,45 @@ def make_sharded_step(sm: ShardedModel, dt: float):
         return ex(out)
 
     mapped = jax.shard_map(
-        local_step, mesh=sm.jax_mesh,
+        local_step, mesh=jax_mesh,
         in_specs=(P("dom"), P("dom"), P(), P("dom"), P("dom")),
         out_specs=P("dom"))
+    return jax.jit(mapped)
 
-    # static operands are jit ARGUMENTS, not closures: multi-host arrays
-    # spanning non-addressable devices cannot be closed over
-    step_jit = jax.jit(mapped)
+
+def make_sharded_step(sm: ShardedModel, dt: float):
+    step_jit = _sharded_step_jit(sm.namelist, dt, sm.jax_mesh)
 
     def step(state):
         return step_jit(sm.mesh_arrays, sm.static, sm.vert, sm.tables, state)
 
     return step
+
+
+def aot_lower_sharded_step(sm: ShardedModel, topo_devices, dt: float | None = None):
+    """Deviceless AOT compile of the sharded step for an abstract TPU
+    topology (jax.experimental.topologies) — the honest substitute for
+    unavailable multi-chip hardware: the returned Compiled object's
+    `.as_text()` is the real XLA:TPU post-scheduling module, so the
+    latency-hiding placement of the halo collectives (collective-permute-
+    start ... independent compute ... collective-permute-done) can be
+    inspected and asserted without owning N chips.  `sm` supplies shapes and
+    static exchange metadata only (build it on CPU virtual devices)."""
+    nl = sm.namelist
+    dt = nl.config_dt if dt is None else dt
+    tmesh = JaxMesh(np.asarray(topo_devices).reshape(sm.n_shards), ("dom",))
+    sh = NamedSharding(tmesh, P("dom"))
+    rep = NamedSharding(tmesh, P())
+
+    def sds(tree, sharding):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                           sharding=sharding), tree)
+
+    step_jit = _sharded_step_jit(nl, dt, tmesh)
+    args = (sds(sm.mesh_arrays, sh), sds(sm.static, sh), sds(sm.vert, rep),
+            sds(sm.tables, sh), sds(sm.state, sh))
+    return step_jit.lower(*args).compile()
 
 
 def make_sharded_radiation(sm: ShardedModel, phys):
