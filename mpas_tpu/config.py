@@ -65,6 +65,13 @@ class Namelist:
     config_moisture: bool = False
     config_scalar_advection: bool = False
     config_microphysics: str = "off"          # "off" | "kessler" | "wsm6lite"
+    # surface-layer + boundary-layer column physics (physics/pbl.py):
+    # the reference's empty sfclayer/PBL driver slots (atmphys_driver.rg)
+    config_pbl: str = "off"                   # "off" | "ysu_lite"
+    config_sst: float = 0.0                   # skin temperature [K]; 0 = skin
+                                              # follows the lowest-level theta
+                                              # (no surface heat/moisture flux)
+    config_roughness: float = 0.01            # z0 [m]
     config_kessler_nfall: int = 0             # 0 = auto from dt & min layer depth
 
     # --- diagnostics/printing (constants.rg:67-69) ---

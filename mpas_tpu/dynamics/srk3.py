@@ -199,6 +199,12 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
         from ..physics import wsm6 as mp6
         state = mp6.apply_wsm6(state, static, vert, nl, dt)
 
+    # surface-layer + PBL vertical mixing (the reference's empty driver
+    # slots, atmphys_driver.rg:23-62) — columnar, inside the jitted step
+    if getattr(nl, "config_pbl", "off") == "ysu_lite":
+        from ..physics import pbl as pbl_mod
+        state = pbl_mod.apply_pbl(state, static, vert, mesh, nl, dt)
+
     return state
 
 
