@@ -183,3 +183,57 @@ def gathered_state(sm, model):
     g = sm.gather_state(model.mesh)
     updates = {k: jnp.asarray(v) for k, v in g.items() if v is not None}
     return model.state.replace(**updates)
+
+
+def save_restart_orbax(path: str, model):
+    """Orbax (tensorstore/zarr) variant of save_restart: the same
+    exact-restart payload written as a directory checkpoint — the format
+    production JAX serving/training stacks use, async-friendly and
+    shardable.  `path` is a directory."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    payload = {"__step_count__": np.asarray(model.step_count),
+               "__layout__": np.asarray(RESTART_LAYOUT_VERSION)}
+    for f in dataclasses.fields(model.state):
+        x = getattr(model.state, f.name)
+        if x is not None:
+            payload[f.name] = np.asarray(x)
+    n_shards = getattr(model, "n_shards", 0)
+    if n_shards:
+        payload["__n_shards__"] = np.asarray(n_shards)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.abspath(path), payload, force=True)
+    return path
+
+
+def load_restart_orbax(path: str, model):
+    """Restore a save_restart_orbax checkpoint (bitwise exact), with the
+    same layout/shard-count validation as the npz reader."""
+    import os
+
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.PyTreeCheckpointer()
+    data = ckpt.restore(os.path.abspath(path))
+    layout = int(data.get("__layout__", 0))
+    if layout != RESTART_LAYOUT_VERSION:
+        raise ValueError(
+            f"orbax restart {path} has state layout version {layout}; this "
+            f"build reads version {RESTART_LAYOUT_VERSION}")
+    ck_shards = int(data.get("__n_shards__", 0))
+    mdl_shards = getattr(model, "n_shards", 0)
+    if ck_shards != mdl_shards:
+        raise ValueError(
+            f"checkpoint written with {ck_shards or 'no'} shards cannot "
+            f"restore into a model with {mdl_shards or 'no'} shards")
+    updates = {}
+    for f in dataclasses.fields(model.state):
+        if f.name in data:
+            updates[f.name] = jnp.asarray(data[f.name],
+                                          getattr(model.state, f.name).dtype)
+    model.state = model.state.replace(**updates)
+    model.step_count = int(data["__step_count__"])
+    return model

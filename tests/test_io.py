@@ -78,3 +78,19 @@ def test_time_series_history(model, tmp_path):
     # the state actually evolved between records
     assert np.abs(d["u"][2] - d["u"][0]).max() > 0.0
     assert np.isfinite(d["surface_pressure"]).all()
+
+
+def test_restart_orbax_roundtrip(tmp_path, model):
+    """The orbax (tensorstore/zarr) checkpoint variant restores bitwise and
+    validates its layout marker like the npz reader."""
+    from mpas_tpu.io.history import save_restart_orbax, load_restart_orbax
+    path = str(tmp_path / "orbax_ckpt")
+    s0 = model.state
+    save_restart_orbax(path, model)
+    model.state = model.state.replace(u=model.state.u + 1.0,
+                                      theta_m=model.state.theta_m * 1.01)
+    load_restart_orbax(path, model)
+    np.testing.assert_array_equal(np.asarray(model.state.u), np.asarray(s0.u))
+    np.testing.assert_array_equal(np.asarray(model.state.theta_m),
+                                  np.asarray(s0.theta_m))
+    model.state = s0
