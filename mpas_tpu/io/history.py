@@ -166,14 +166,27 @@ def load_restart(path: str, model):
         raise ValueError(
             f"checkpoint written with {ck_shards or 'no'} shards cannot "
             f"restore into a model with {mdl_shards or 'no'} shards")
+    model.state = model.state.replace(**_restored_updates(path, data, model))
+    model.step_count = int(data["__step_count__"])
+    return model
+
+
+def _restored_updates(path, data, model):
+    """Map checkpoint fields onto the model's state fields, rejecting fields
+    the restoring configuration has disabled (None) with a config-mismatch
+    error instead of an AttributeError (round-4 advisor finding)."""
+    import jax.numpy as jnp
     updates = {}
     for f in dataclasses.fields(model.state):
         if f.name in data:
-            updates[f.name] = jnp.asarray(data[f.name],
-                                          getattr(model.state, f.name).dtype)
-    model.state = model.state.replace(**updates)
-    model.step_count = int(data["__step_count__"])
-    return model
+            cur = getattr(model.state, f.name)
+            if cur is None:
+                raise ValueError(
+                    f"checkpoint {path} carries field '{f.name}' but the "
+                    f"restoring model has it disabled (None) — config "
+                    f"mismatch (e.g. a moist checkpoint into a dry model)")
+            updates[f.name] = jnp.asarray(data[f.name], cur.dtype)
+    return updates
 
 
 def gathered_state(sm, model):
@@ -229,11 +242,6 @@ def load_restart_orbax(path: str, model):
         raise ValueError(
             f"checkpoint written with {ck_shards or 'no'} shards cannot "
             f"restore into a model with {mdl_shards or 'no'} shards")
-    updates = {}
-    for f in dataclasses.fields(model.state):
-        if f.name in data:
-            updates[f.name] = jnp.asarray(data[f.name],
-                                          getattr(model.state, f.name).dtype)
-    model.state = model.state.replace(**updates)
+    model.state = model.state.replace(**_restored_updates(path, data, model))
     model.step_count = int(data["__step_count__"])
     return model

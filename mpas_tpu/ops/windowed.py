@@ -17,14 +17,18 @@ runs at Precision.HIGHEST by default (exact-f32-grade; equivalence to the
 gather path at f32 roundoff is asserted in tests/test_windowed.py).
 
 Only meaningful after renumbering: plan_windows() asserts the spans fit.
-Used by the dynamics call sites when config_windowed_gathers is enabled
-(single-device path; the sharded path keeps XLA gathers, whose per-shard
-index arrays are traced).
+Status: a tested, deliberately UNWIRED experiment (tests/test_windowed.py,
+tools/windowed_study.py) — on-device measurement found edge-output
+reductions lose to the gather path and cell-output reductions win only
+1.12x (docs/PERF.md "Windowed gather-reduce study"), so no dycore call
+site uses it; it is kept as the ready implementation for when Mosaic's
+dynamic gather grows multi-vreg table support.
 """
 
 from __future__ import annotations
 
 import functools
+import hashlib
 from typing import Any, Sequence
 
 import jax
@@ -68,11 +72,16 @@ class WindowPlan:
 
 
 def plan_windows(idx_arr, block: int = BLOCK) -> WindowPlan:
-    """Cached planner; `idx_arr` may be a jnp constant (static mesh data)."""
-    key = (id(idx_arr), block)
+    """Cached planner; `idx_arr` may be a jnp constant (static mesh data).
+
+    Keyed by a content digest (not id()): id-keying can silently alias two
+    distinct index arrays if the first is garbage-collected and the second
+    reuses its address (round-4 advisor finding)."""
+    idx_np = np.ascontiguousarray(np.asarray(idx_arr))
+    key = (hashlib.sha1(idx_np.tobytes()).digest(), idx_np.shape, block)
     plan = _plan_cache.get(key)
     if plan is None:
-        plan = WindowPlan(np.asarray(idx_arr), block)
+        plan = WindowPlan(idx_np, block)
         _plan_cache[key] = plan
     return plan
 

@@ -80,7 +80,8 @@ def _sediment(qr, rho, dz, dt: float, nfall: int):
         rain = rain + flux[0] * dtfall             # surface precipitation
         return qr, rain
 
-    rain0 = jnp.zeros(qr.shape[1:], qr.dtype)
+    rain0 = qr[0] * 0.0        # derives from qr: varying-axes-correct carry
+                               # under shard_map (vs an unvarying jnp.zeros)
     qr, rain = jax.lax.fori_loop(0, nfall, body, (qr, rain0))
     return qr, rain
 

@@ -152,16 +152,17 @@ def implicit_diffusion(x, k_i, rho, rho_i, zgrid, dt,
         dp = (r_k - a_k * dp_prev) / den
         return (cp, dp), (cp, dp)
 
-    init = (jnp.zeros(C, x.dtype), jnp.zeros(C, x.dtype))
-    _, (cps, dps) = jax.lax.scan(fwd, init, (a, b, c, rhs))
+    # carries derive from a traced operand (x[0]*0, not jnp.zeros) so their
+    # varying-axes type matches the loop outputs under shard_map (vma)
+    zero_c = x[0] * 0.0
+    _, (cps, dps) = jax.lax.scan(fwd, (zero_c, zero_c), (a, b, c, rhs))
 
     def bwd(x_next, cd):
         cp_k, dp_k = cd
         x_k = dp_k - cp_k * x_next
         return x_k, x_k
 
-    _, xs = jax.lax.scan(bwd, jnp.zeros(C, x.dtype),
-                         (cps[::-1], dps[::-1]))
+    _, xs = jax.lax.scan(bwd, zero_c, (cps[::-1], dps[::-1]))
     return xs[::-1]
 
 

@@ -84,7 +84,7 @@ def _sediment_snow(qs, rho, dz, dt: float, nfall: int):
         snow = snow + flux[0] * dtfall
         return qs, snow
 
-    snow0 = jnp.zeros(qs.shape[1:], qs.dtype)
+    snow0 = qs[0] * 0.0        # varying-axes-correct carry under shard_map
     return jax.lax.fori_loop(0, nfall, body, (qs, snow0))
 
 

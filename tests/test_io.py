@@ -80,6 +80,21 @@ def test_time_series_history(model, tmp_path):
     assert np.isfinite(d["surface_pressure"]).all()
 
 
+def test_restart_config_mismatch_rejected(tmp_path, model):
+    """A checkpoint carrying a field the restoring model has disabled (e.g.
+    moist scalars into a dry model) fails with a descriptive config-mismatch
+    error, not an AttributeError (round-4 advisor finding)."""
+    from mpas_tpu.io.history import save_restart, load_restart
+    path = str(tmp_path / "moist.npz")
+    save_restart(path, model)
+    data = dict(np.load(path))
+    assert model.state.scalars is None          # dry fixture
+    data["scalars"] = np.zeros((2, 3, 4))
+    np.savez_compressed(path, **data)
+    with pytest.raises(ValueError, match="config"):
+        load_restart(path, model)
+
+
 def test_restart_orbax_roundtrip(tmp_path, model):
     """The orbax (tensorstore/zarr) checkpoint variant restores bitwise and
     validates its layout marker like the npz reader."""
