@@ -64,7 +64,7 @@ class Namelist:
     # --- moisture / scalars ---
     config_moisture: bool = False
     config_scalar_advection: bool = False
-    config_microphysics: str = "off"          # "off" | "kessler" | "wsm6lite"
+    config_microphysics: str = "off"  # "off" | "kessler" | "wsm6lite" | "wsm6"
     # surface-layer + boundary-layer column physics (physics/pbl.py):
     # the reference's empty sfclayer/PBL driver slots (atmphys_driver.rg)
     config_pbl: str = "off"                   # "off" | "ysu_lite"
@@ -102,6 +102,17 @@ class Namelist:
     config_sphere_radius: float = 6371229.0
     config_coriolis: bool = True              # zero fEdge/fVertex when False
 
+    # --- Weisman-Klemp storm case (config_init_case == 22; init/squall.py;
+    #     bubble center reuses config_mtn_lat_center/config_mtn_lon_center) ---
+    config_sq_theta0: float = 300.0           # surface potential temp [K]
+    config_sq_qv0: float = 0.014              # boundary-layer qv cap [kg/kg]
+    config_sq_shear_u: float = 12.0           # shear-layer wind speed [m/s]
+    config_sq_shear_depth: float = 2500.0     # tanh shear depth z_s [m]
+    config_sq_bubble_dtheta: float = 3.0      # bubble amplitude [K]
+    config_sq_bubble_radius: float = 10000.0  # bubble horizontal radius [m]
+    config_sq_bubble_height: float = 1500.0   # bubble center height [m]
+    config_sq_bubble_depth: float = 1500.0    # bubble vertical radius [m]
+
     # --- mountain-wave case (config_init_case == 21) ---
     config_mtn_t0: float = 300.0              # isothermal temperature [K]
     config_mtn_u0: float = 20.0               # zonal wind at the equator [m/s]
@@ -136,6 +147,12 @@ class Namelist:
     # XLA gather locality.  Off by default so checked-in golden trajectories
     # keep their original column order.
     config_renumber_mesh: bool = False
+    # ownership-aligned edge numbering (mesh/orient.py): 3-bounded edge
+    # orientation + slot-major renumbering so owner-side pair reads and
+    # owned-edge reductions need no gather; opt-in (changes the edge id
+    # space, so artifacts/checkpoints are not interchangeable with the
+    # unaligned numbering)
+    config_orient_edges: bool = False
     # fused Pallas acoustic column kernel (ops/pallas_acoustic.py):
     # "auto" = compiled kernel on TPU backends (measured 80.4 vs 82.5
     # ms/step at x1.40962/41L, identical trajectories), XLA path elsewhere

@@ -101,6 +101,12 @@ class MeshArrays:
     fEdge: Any                # [E]
     fVertex: Any              # [V]
 
+    # ownership-aligned edge numbering (mesh/orient.py): when True,
+    # cellsOnEdge[e, 0] == e % nCells for every edge, so owner-side cell
+    # reads are a lane tiling (no gather) and a cell's 3 owned edges are
+    # the slices [:C], [C:2C], [2C:3C] of any edge field
+    owner_aligned: bool = struct.field(pytree_node=False, default=False)
+
     @property
     def nCells(self):
         return self.edgesOnCell.shape[0]
@@ -297,6 +303,7 @@ def mesh_arrays_from_mesh(mesh: Mesh, namelist, dtype=jnp.float32,
         coeffs_reconstruct=f(coeffs_reconstruct),
         defc_a=f(defc_a), defc_b=f(defc_b),
         fEdge=f(fEdge), fVertex=f(fVertex),
+        owner_aligned=bool(getattr(mesh, "edges_owner_aligned", False)),
     )
 
 

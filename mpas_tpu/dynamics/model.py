@@ -110,6 +110,9 @@ def build_model(grid_path: str = DEFAULT_GRID,
     if nl.config_renumber_mesh:
         from ..mesh.renumber import renumber_mesh
         mesh, _ = renumber_mesh(mesh)
+    if nl.config_orient_edges and not mesh.edges_owner_aligned:
+        from ..mesh.orient import orient_edges
+        mesh, _ = orient_edges(mesh)
     mesh.validate()
     vg = make_vertical_grid(nl.config_nvertlevels, nl.config_ztop,
                             nl.config_vertical_stretch)
@@ -130,6 +133,9 @@ def build_model(grid_path: str = DEFAULT_GRID,
     if nl.config_init_case == 21:
         from ..init import mountain_wave as mw_init
         static_np, init_np = mw_init.init_mountain_wave(mesh, vg, nl, deriv_two)
+    elif nl.config_init_case == 22:
+        from ..init import squall as sq_init
+        static_np, init_np = sq_init.init_squall(mesh, vg, nl, deriv_two)
     else:
         static_np, init_np = jw_init.init_jw(mesh, vg, nl, deriv_two)
     # host init builds element-major [N, K] arrays; flip to the level-major
@@ -143,8 +149,9 @@ def build_model(grid_path: str = DEFAULT_GRID,
            for k, v in static_np.items()})
 
     C, E, V, K = mesh.nCells, mesh.nEdges, mesh.nVertices, vg.nVertLevels
-    use_mp = nl.config_microphysics in ("kessler", "wsm6lite")
-    n_scalars = ({"kessler": 3, "wsm6lite": 5}.get(nl.config_microphysics, 0)
+    use_mp = nl.config_microphysics in ("kessler", "wsm6lite", "wsm6")
+    n_scalars = ({"kessler": 3, "wsm6lite": 5,
+                  "wsm6": 6}.get(nl.config_microphysics, 0)
                  or (1 if nl.config_moisture else 0))
     if use_mp and not nl.config_scalar_advection:
         # microphysics requires transported moisture species

@@ -198,6 +198,10 @@ def atm_srk3(state, static, mesh, vert, nl, dt: float, halo=None):
             and state.scalars.shape[0] >= 5):
         from ..physics import wsm6 as mp6
         state = mp6.apply_wsm6(state, static, vert, nl, dt)
+    elif (nl.config_microphysics == "wsm6" and state.scalars is not None
+            and state.scalars.shape[0] >= 6):
+        from ..physics import wsm6 as mp6
+        state = mp6.apply_wsm6(state, static, vert, nl, dt, full=True)
 
     # surface-layer + PBL vertical mixing (the reference's empty driver
     # slots, atmphys_driver.rg:23-62) — columnar, inside the jitted step

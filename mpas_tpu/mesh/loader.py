@@ -101,6 +101,11 @@ class Mesh:
     edgesOnVertexSign: np.ndarray = None      # [V, vertexDegree]
     kiteForCell: np.ndarray = None            # [C, maxEdges] index into kiteAreasOnVertex
 
+    # ownership-aligned edge numbering (mesh/orient.py): edges padded to
+    # 3*nCells with new_id = slot*C + owner; nEdgesReal counts real edges
+    edges_owner_aligned: bool = False
+    nEdgesReal: int = 0
+
     def validate(self):
         """Partition-style sanity checks (cf. mesh_loading.rg:473-478)."""
         C, E, V = self.nCells, self.nEdges, self.nVertices
@@ -108,9 +113,11 @@ class Mesh:
         assert self.verticesOnEdge.min() >= 0 and self.verticesOnEdge.max() < V
         assert self.cellsOnVertex.min() >= 0 and self.cellsOnVertex.max() < C
         assert self.edgesOnVertex.min() >= 0 and self.edgesOnVertex.max() < E
-        # Euler characteristic of the sphere: C - E + V = 2
+        # Euler characteristic of the sphere: C - E + V = 2 (real edges only
+        # when the edge space is padded by the ownership alignment)
         if self.on_a_sphere:
-            assert C - E + V == 2, (C, E, V)
+            E_real = self.nEdgesReal if self.edges_owner_aligned else E
+            assert C - E_real + V == 2, (C, E_real, V)
         # every edge signed once + and once - by its two cells
         sign_sum = np.zeros(E)
         np.add.at(sign_sum, self.edgesOnCell.ravel(),

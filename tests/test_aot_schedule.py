@@ -39,9 +39,17 @@ def test_artifact_invariants():
     if not os.path.exists(path):
         import pytest
         pytest.skip("aot_schedule.json not generated in this checkout")
-    art = json.load(open(path))
-    assert art["collective_permute_start"] == art["collective_permute_done"]
-    assert art["pairs_analyzed"] > 0
-    # every analyzed halo collective is scheduled with compute in flight
-    assert art["pairs_with_compute_in_flight"] == art["pairs_analyzed"]
-    assert art["ops_between_start_done"]["median"] > 0
+    data = json.load(open(path))
+    # round-5 format: one entry per studied topology (2x2 / 2x4 / 4x4)
+    arts = data["topologies"] if "topologies" in data else [data]
+    assert len(arts) >= 1
+    for art in arts:
+        assert art["collective_permute_start"] == art["collective_permute_done"]
+        assert art["pairs_analyzed"] > 0
+        # every analyzed halo collective is scheduled with compute in flight
+        assert art["pairs_with_compute_in_flight"] == art["pairs_analyzed"]
+        assert art["ops_between_start_done"]["median"] > 0
+        # the scaling budget's collective accounting must agree with the
+        # compiled schedule (round-5: the cross-check VERDICT item 6 asks for)
+        if "budget_predicted_collectives" in art:
+            assert art["budget_matches_schedule"], art

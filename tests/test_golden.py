@@ -97,29 +97,62 @@ PSMIN_SERIES = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
                             "validation", "jw_psmin_series.npz")
 
 
+DIGITIZED = os.path.join(os.path.dirname(__file__), "golden",
+                         "jw06_psmin_digitized.csv")
+
+
 @pytest.mark.skipif(not os.path.exists(PSMIN_SERIES),
                     reason="ps_min series artifact not generated")
 class TestJW06PressureTrajectory:
     """Day-resolved minimum-surface-pressure trajectory of the 15-day run
     (tools/jw06_timeseries.py) against the published JW06 evolution
-    (Jablonowski & Williamson QJRMS 2006, the min-ps-vs-day figures):
-    a quasi-steady phase through ~day 4-6, explosive baroclinic deepening
-    after ~day 7, and a deep (<960 hPa) cyclone by mid-run.  Bounds are
-    coarse envelopes of the published curves (the paper shows ~0.5-1 hPa
-    deviation through day 4 and O(40 hPa) deepening by day 10 at converged
-    resolution; at 480 km the growth is delayed and weakened, which the
-    bands accommodate), not digitized data — MPAS-Fortran cannot run here,
-    so this is the strongest external trajectory check available."""
+    (Jablonowski & Williamson QJRMS 2006): day-by-day comparison with the
+    digitized published curve (tests/golden/jw06_psmin_digitized.csv,
+    days 0-10) on DEVIATIONS from day 0 (cancelling the static
+    cf1/cf2/cf3-extrapolation offset of the discrete surface pressure),
+    with per-phase tolerances stated in `PHASE_TOL`; plus shape checks of
+    the later deepening.  MPAS-Fortran cannot run here, so the digitized
+    published curve is the strongest external trajectory anchor available."""
+
+    # (day range, tolerance on |dev_sim - dev_jw06| in Pa, rationale)
+    PHASE_TOL = (
+        (range(0, 6), 200.0,    # quiet phase: curve known to ~±0.2 hPa
+         "linear growth phase, JW06 flat to ~0.5 hPa"),
+        (range(6, 8), 500.0,    # onset: ±1 hPa digitization + resolution
+         "onset of nonlinear growth"),
+        (range(8, 11), 2500.0,  # explosive: steep curve, ±5 hPa digitization
+         "explosive deepening; JW06's own inter-dycore spread is tens of "
+         "hPa here and 480 km CVT deepens ~1 day early"),
+    )
 
     @pytest.fixture(scope="class")
     def series(self):
         d = np.load(PSMIN_SERIES)
         return d["day"], d["ps_min"]
 
+    @pytest.fixture(scope="class")
+    def digitized(self):
+        d = np.loadtxt(DIGITIZED, delimiter=",")
+        return d[:, 0].astype(int), d[:, 1] * 100.0       # Pa
+
+    def test_day_by_day_vs_digitized_jw06(self, series, digitized):
+        """|(ps(d) - ps(0)) - (jw06(d) - jw06(0))| within the per-phase
+        tolerance for every digitized day."""
+        day, ps = series
+        jd, jps = digitized
+        dev_sim = ps - ps[0]
+        dev_ref = jps - jps[0]
+        for days, tol, why in self.PHASE_TOL:
+            for d in days:
+                if d >= len(dev_sim) or d not in jd:
+                    continue
+                diff = abs(dev_sim[d] - dev_ref[list(jd).index(d)])
+                assert diff < tol, (d, diff, tol, why)
+
     def test_linear_phase_quiet(self, series):
         day, ps = series
         dev = np.abs(ps[:5] - ps[0])
-        assert dev.max() < 500.0, dev          # Pa; JW06 ~<1 hPa through day 4
+        assert dev.max() < 200.0, dev          # Pa; JW06 ~<0.5 hPa through day 4
 
     def test_growth_phase_timing(self, series):
         day, ps = series
@@ -141,6 +174,81 @@ class TestJW06PressureTrajectory:
         day, ps = series
         assert ps.min() < 96000.0, ps.min()    # deep low developed
         assert ps.min() > 90000.0, ps.min()    # not runaway
+
+
+DAY15_PROD = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                          "validation", "jw15_40962.npz")
+PSMIN_PROD = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                          "validation", "jw_psmin_40962.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(DAY15_PROD),
+                    reason="production-resolution day-15 artifact not generated")
+class TestDay15Production:
+    """BASELINE.json's 'JW wave vs reference at day 15 on x1.40962' clause:
+    the same day-15 checks as TestDay15 at PRODUCTION resolution (120 km,
+    26 levels, dt=300 s, 4320 steps on TPU; tools/jw_production_run.py,
+    artifact docs/validation/jw15_40962.npz)."""
+
+    @pytest.fixture(scope="class")
+    def day15(self):
+        return np.load(DAY15_PROD)
+
+    def test_wave_has_broken_in_nh(self, day15):
+        sp = day15["surface_pressure"]
+        lat = day15["latCell"] * 180 / np.pi
+        nh = lat > 25.0
+        assert sp[nh].min() < 96000.0, sp[nh].min()
+        assert sp[nh].max() > 101800.0, sp[nh].max()
+
+    def test_storm_track_latitude(self, day15):
+        sp = day15["surface_pressure"]
+        lat = day15["latCell"] * 180 / np.pi
+        assert 40.0 < lat[sp.argmin()] < 88.0
+
+    def test_jet_intensified(self, day15):
+        u = day15["u"]
+        assert 50.0 < np.abs(u).max() < 120.0
+
+    def test_no_nans_bounded_w(self, day15):
+        assert np.isfinite(day15["w"]).all()
+        assert np.abs(day15["w"]).max() < 1.0
+
+
+@pytest.mark.skipif(not (os.path.exists(PSMIN_PROD)
+                         and os.path.exists(PSMIN_SERIES)),
+                    reason="both-resolution ps_min series not generated")
+class TestResolutionConvergence:
+    """JW06's resolution story: refining 480 km -> 120 km strengthens and
+    advances the baroclinic deepening (their convergence figures show
+    weaker/delayed growth at coarse resolution)."""
+
+    @pytest.fixture(scope="class")
+    def both(self):
+        coarse = np.load(PSMIN_SERIES)
+        fine = np.load(PSMIN_PROD)
+        return coarse["ps_min"], fine["ps_min"]
+
+    def test_deepening_strengthens_with_resolution(self, both):
+        coarse, fine = both
+        dev_c = coarse - coarse[0]
+        dev_f = fine - fine[0]
+        days = range(8, 13)                    # the explosive phase
+        assert all(dev_f[d] < dev_c[d] for d in days), (dev_c[8:13],
+                                                        dev_f[8:13])
+
+    def test_same_phase_structure(self, both):
+        """Both resolutions share the JW06 phases: quiet through day 4,
+        explosive deepening after day 7, deep cyclone by mid-run."""
+        for ps in both:
+            assert np.abs(ps[:5] - ps[0]).max() < 500.0
+            assert ps[0] - ps[7] > 500.0       # growth underway by day 7
+            assert ps.min() < 96000.0
+            assert ps.min() > 90000.0
+
+    def test_day15_within_resolution_band(self, both):
+        coarse, fine = both
+        assert abs(coarse[-1] - fine[-1]) < 3000.0   # Pa
 
 
 @pytest.mark.skipif(not os.path.exists(DAY15),

@@ -1,4 +1,5 @@
-"""Windowed gather-reduce kernels (ops/windowed.py): exact equivalence with
+"""Windowed gather-reduce kernels (tools/windowed_kernels.py — a study
+module since round 5, see its docstring): exact equivalence with
 the XLA gather path on a renumbered mesh (interpret mode on CPU).
 
 Status (round-4 device study, docs/PERF.md): the windowed MXU form matches
@@ -6,6 +7,9 @@ XLA's gather pipeline to f32 roundoff and runs ~1.1x faster on cell-output
 reductions but slower on edge-output ones, so it is kept as an optional
 experiment rather than wired into the dycore.
 """
+
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -15,8 +19,10 @@ import pytest
 from mpas_tpu.mesh.loader import load_mesh
 from mpas_tpu.mesh.renumber import renumber_mesh
 from mpas_tpu.ops import stencils as st
-from mpas_tpu.ops.windowed import (edge_pairs_windowed, plan_windows,
-                                   slot_reduce_windowed)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+from tools.windowed_kernels import (edge_pairs_windowed, plan_windows,  # noqa: E402
+                                    slot_reduce_windowed)
 
 GRID = "/root/reference/mesh_loading/x1.2562.grid.nc"
 

@@ -104,6 +104,132 @@ def test_snow_melts_in_warm_air_with_cooling():
     assert t_after[low].mean() < t_before[low].mean()
 
 
+class TestFullWSM6:
+    """The 6-class scheme with prognostic graupel (wsm6full)."""
+
+    @pytest.mark.parametrize("t_sfc", [300.0, 270.0, 285.0])
+    def test_water_and_enthalpy_conservation(self, t_sfc):
+        """Total water (incl. graupel + all precip streams) conserved
+        exactly; COLUMN-INTEGRATED moist enthalpy
+        sum rho dz (cp T + Lv qv - Lf (qi+qs+qg)) conserved up to the
+        -Lf payload of the graupel that sediments out the surface (graupel
+        is present at call time, so the pointwise form of the lite test
+        does not apply: sedimentation relocates -Lf qg between levels)."""
+        theta, qv, qc, qr, qi, qs, rho, exner, p, dz = _columns(t_sfc)
+        qg = jnp.where(jnp.asarray(np.linspace(250, 15000, K))[:, None]
+                       > 5000.0, 1e-4, 0.0) * jnp.ones_like(qs)
+        w0 = _total_water(qv, qc, qr, qi, qs + qg, rho, dz)
+        rdz = np.asarray(rho) * np.asarray(dz)
+        h0 = np.sum(rdz * (_moist_enthalpy(theta, qv, qi, qs, exner)
+                           - constants.xlf * np.asarray(qg)), axis=0)
+        out = wsm6.wsm6full(theta, qv, qc, qr, qi, qs, qg, rho, exner, p,
+                            dz, DT, nfall=4)
+        theta2, qv2, qc2, qr2, qi2, qs2, qg2, rain, snow, graup = out
+        w1 = (_total_water(qv2, qc2, qr2, qi2, qs2 + qg2, rho, dz)
+              + np.asarray(rain) + np.asarray(snow) + np.asarray(graup))
+        np.testing.assert_allclose(w1, w0, rtol=1e-10)
+        h1 = np.sum(rdz * (_moist_enthalpy(theta2, qv2, qi2, qs2, exner)
+                           - constants.xlf * np.asarray(qg2)), axis=0)
+        # graupel leaving the column carries enthalpy -Lf per unit mass
+        h1 = h1 - constants.xlf * np.asarray(graup)
+        np.testing.assert_allclose(h1, h0, rtol=1e-9)
+
+    def test_positivity(self):
+        theta, qv, qc, qr, qi, qs, rho, exner, p, dz = _columns(275.0)
+        qr = qr + 1e-4
+        qs = qs + 2e-4
+        qg = qs * 0.5
+        for _ in range(5):
+            theta, qv, qc, qr, qi, qs, qg, _, _, _ = wsm6.wsm6full(
+                theta, qv, qc, qr, qi, qs, qg, rho, exner, p, dz, DT,
+                nfall=4)
+        for q in (qv, qc, qr, qi, qs, qg):
+            assert float(jnp.min(q)) >= 0.0
+
+    def test_supercooled_rain_freezes_to_graupel(self):
+        """Bigg immersion freezing: supercooled rain in a cold column
+        becomes graupel, warming the air (latent heat of fusion)."""
+        theta, qv, qc, qr, qi, qs, rho, exner, p, dz = _columns(250.0)
+        qv = qv * 0.5
+        qc = jnp.zeros_like(qc)
+        z = np.linspace(250, 15000, K)[:, None]
+        qr = jnp.where(jnp.asarray(z) > 6000.0, 5e-4, 0.0) * jnp.ones_like(qr)
+        qg = jnp.zeros_like(qs)
+        t_before = np.asarray(theta * exner)
+        out = wsm6.wsm6full(theta, qv, qc, qr, qi, qs, qg, rho, exner, p,
+                            dz, 600.0, nfall=4)
+        theta2, _, _, qr2, _, _, qg2, _, _, _ = out
+        high = z[:, 0] > 6000.0
+        assert float(jnp.sum(qg2[high])) > 1e-6          # graupel formed
+        assert float(jnp.sum(qr2[high])) < float(jnp.sum(qr[high]))
+        t_after = np.asarray(theta2 * exner)
+        assert t_after[high].mean() > t_before[high].mean()   # fusion heat
+
+    def test_graupel_melts_to_rain(self):
+        theta, qv, qc, qr, qi, qs, rho, exner, p, dz = _columns(305.0)
+        qv = 0.2 * qv
+        qc = jnp.zeros_like(qc)
+        z = np.linspace(250, 15000, K)[:, None]
+        qg = jnp.where(jnp.asarray(z) < 3000.0, 2e-4, 0.0) * jnp.ones_like(qs)
+        out = wsm6.wsm6full(theta, qv, qc, qr, jnp.zeros_like(qi),
+                            jnp.zeros_like(qs), qg, rho, exner, p, dz, DT,
+                            nfall=4)
+        _, _, _, qr2, _, _, qg2, _, _, _ = out
+        low = z[:, 0] < 3000.0
+        assert float(jnp.sum(qr2[low])) > 0.0
+        assert float(jnp.sum(qg2[low])) < float(jnp.sum(qg[low]))
+
+    def test_graupel_falls_faster_than_snow(self):
+        """The Hong-Lim graupel fall law exceeds the snow law at equal
+        content (denser particles) — the reason graupel reaches the surface
+        where snow would drift."""
+        rho = jnp.full((K, 1), 1.0)
+        q = jnp.full((K, 1), 2e-3)
+        vg = np.asarray(wsm6._graupel_fall_velocity(q, rho))
+        vs = np.asarray(wsm6._snow_fall_velocity(q, rho))
+        assert (vg > vs).all(), (vg.max(), vs.max())
+        assert vg.max() < wsm6.MAX_VT_GRAUPEL
+
+    def test_wet_growth_cap_limits_freezing(self):
+        """Near 0 C with heavy liquid, the heat-balance cap keeps the
+        freezing-induced warming from overshooting T0 by more than the
+        linearization error."""
+        theta, qv, qc, qr, qi, qs, rho, exner, p, dz = _columns(278.0)
+        qv = qv * 0.5
+        z = np.linspace(250, 15000, K)[:, None]
+        band = jnp.asarray((z > 3000.0) & (z < 6000.0))   # t slightly < T0
+        qr = jnp.where(band, 5e-3, 0.0) * jnp.ones_like(qr)
+        qc = jnp.where(band, 2e-3, 0.0) * jnp.ones_like(qc)
+        qg = jnp.where(band, 5e-3, 0.0) * jnp.ones_like(qs)
+        out = wsm6.wsm6full(theta, qv, qc, qr, qi, qs, qg, rho, exner, p,
+                            dz, 600.0, nfall=4)
+        t2 = np.asarray(out[0]) * np.asarray(exner)
+        sel = np.asarray(band)[:, 0]              # [K] level mask
+        # freezing heat may bring cold air up to ~T0 but not meaningfully past
+        assert t2[sel].max() < wsm6.T0 + 0.5, t2[sel].max()
+
+    def test_coupled_run_stable(self):
+        """JW moist run with full WSM6 in the jitted step: 6 species,
+        stable, nonnegative, finite precip accumulation."""
+        from mpas_tpu.config import Namelist
+        from mpas_tpu.dynamics.model import build_model
+        from mpas_tpu.mesh.generator import generate_mesh
+        nl = Namelist(config_nvertlevels=10, config_ztop=30000.0,
+                      dtype="float64", config_dt=480.0, config_moisture=True,
+                      config_microphysics="wsm6",
+                      config_jw_u_perturbation=1.0)
+        mesh = generate_mesh(levels=3, lloyd_iterations=3)
+        m = build_model(namelist=nl, mesh=mesh)
+        assert m.state.scalars.shape[0] == 6
+        m.step(30)
+        s = m.summarize()
+        assert not s["nan_detected"], s
+        scal = np.asarray(m.state.scalars)
+        assert np.isfinite(scal).all()
+        assert scal.min() >= -1e-12
+        assert float(np.asarray(m.state.rainnc).min()) >= 0.0
+
+
 def test_coupled_moist_run_stable():
     """JW moist run with WSM6-lite in the jitted step: stable, finite,
     nonnegative species, some cloud/precip activity."""

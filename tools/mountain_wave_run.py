@@ -35,6 +35,11 @@ def make_namelist(levels: int):
     return Namelist(
         config_init_case=21, config_sphere_radius=6371229.0 / X,
         config_coriolis=False, config_dt=dt,
+        # 4 acoustic substeps: the generated CVT family's min dx sits ~20%
+        # below the mean, so nsub=2 lands at acoustic CFL ~0.8 — past the
+        # measured 0.72 stability envelope (docs/VALIDATION.md); nsub=4
+        # gives CFL ~0.4 at min dx
+        config_number_of_sub_steps=4,
         config_nvertlevels=40, config_ztop=20000.0,
         config_vertical_stretch=1.0,
         config_zd=13000.0, config_xnutr=0.3,

@@ -17,12 +17,14 @@ runs at Precision.HIGHEST by default (exact-f32-grade; equivalence to the
 gather path at f32 roundoff is asserted in tests/test_windowed.py).
 
 Only meaningful after renumbering: plan_windows() asserts the spans fit.
-Status: a tested, deliberately UNWIRED experiment (tests/test_windowed.py,
-tools/windowed_study.py) — on-device measurement found edge-output
-reductions lose to the gather path and cell-output reductions win only
-1.12x (docs/PERF.md "Windowed gather-reduce study"), so no dycore call
-site uses it; it is kept as the ready implementation for when Mosaic's
-dynamic gather grows multi-vreg table support.
+Status: a STUDY module (round-5 decision, docs/PERF.md "Windowed
+gather-reduce study") — on-device measurement found edge-output reductions
+lose to the gather path and cell-output reductions win only 1.12x on a
+~3% step-time category, and the Mosaic dynamic gather is still
+single-vreg-only in jax 0.9, so this lives in tools/ (equivalence-tested
+by tests/test_windowed.py, measured by tools/windowed_study.py) rather
+than in the production package.  Revisit when Mosaic grows multi-vreg
+gather-table support.
 """
 
 from __future__ import annotations
