@@ -147,6 +147,9 @@ class Namelist:
     # XLA gather locality.  Off by default so checked-in golden trajectories
     # keep their original column order.
     config_renumber_mesh: bool = False
+    # trade XLA optimization effort for cold-compile time
+    # (exec_time_optimization_effort = -1; tools/compile_study.py)
+    config_fast_compile: bool = False
     # ownership-aligned edge numbering (mesh/orient.py): 3-bounded edge
     # orientation + slot-major renumbering so owner-side pair reads and
     # owned-edge reductions need no gather; opt-in (changes the edge id

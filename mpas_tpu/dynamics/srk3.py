@@ -228,10 +228,17 @@ def summarize_timestep(state, mesh):
 
 
 def make_step_fn(static, mesh, vert, nl, dt=None):
-    """Returns a jitted step(state) -> state closing over the static data."""
-    dt = nl.config_dt if dt is None else dt
+    """Returns a jitted step(state) -> state closing over the static data.
 
-    @jax.jit
+    config_fast_compile trades XLA optimization effort for compile time
+    (exec_time_optimization_effort < 0): measured on v5e at x1.40962/41L
+    in tools/compile_study.py — see docs/PERF.md "Cold compile"."""
+    dt = nl.config_dt if dt is None else dt
+    opts = None
+    if getattr(nl, "config_fast_compile", False):
+        opts = {"xla_tpu_exec_time_optimization_effort": -1.0}
+
+    @partial(jax.jit, compiler_options=opts)
     def step(state):
         return atm_srk3(state, static, mesh, vert, nl, dt)
 

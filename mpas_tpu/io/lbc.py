@@ -396,7 +396,7 @@ def _make_recouple_fn(model):
     @jax.jit
     def recouple(state):
         rho_zz = state.rho_zz
-        ru = st.avg_cell_to_edge(rho_zz, marr.cellsOnEdge) * state.u
+        ru = st.avg_cell_to_edge_m(marr, rho_zz) * state.u
         zz_i = st.interface_interp(static.zz, vert.fzm, vert.fzp)
         rho_i = st.interface_interp(rho_zz, vert.fzm, vert.fzp)
         flux_e = st.interface_interp(ru, vert.fzm, vert.fzp)

@@ -158,8 +158,7 @@ def _stage_constant_edge_pairs(state, static, mesh):
     """Stacked edge pairs of the fields constant within one RK stage (zz,
     exner, theta_m): one gather per side per stage, CSE'd across the
     unrolled acoustic substeps."""
-    return st.edge_pairs(mesh.cellsOnEdge, static.zz, state.exner,
-                         state.theta_m)
+    return st.edge_pairs_m(mesh, static.zz, state.exner, state.theta_m)
 
 
 def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
@@ -190,12 +189,12 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
         # per-substep perturbation fields share one stacked gather, while the
         # stage-constant zz/exner/theta gathers CSE across the substeps
         if damp_previous:
-            (rtpp1, rtpp2), (rpp1, rpp2), (dpp1, dpp2) = st.edge_pairs(
-                mesh.cellsOnEdge, ac.rtheta_pp, ac.rho_pp,
+            (rtpp1, rtpp2), (rpp1, rpp2), (dpp1, dpp2) = st.edge_pairs_m(
+                mesh, ac.rtheta_pp, ac.rho_pp,
                 ac.rtheta_pp - ac.rtheta_pp_old)
         else:
-            (rtpp1, rtpp2), (rpp1, rpp2) = st.edge_pairs(
-                mesh.cellsOnEdge, ac.rtheta_pp, ac.rho_pp)
+            (rtpp1, rtpp2), (rpp1, rpp2) = st.edge_pairs_m(
+                mesh, ac.rtheta_pp, ac.rho_pp)
         if damp_previous:
             coef_d = 2.0 * nl.config_smdiv * nl.config_len_disp / dts
             ru_p_in = ac.ru_p + coef_d * (dpp1 - dpp2) / (th1 + th2)
@@ -225,8 +224,9 @@ def advance_acoustic_step(ac: AcousticState, ruAvg, wwAvg, tend, coefs,
     sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
     wdiv = dts * mesh.invAreaCell[None, :]
     # the mass and theta divergences as stacked slot reductions
-    ((ru_sum,), (rut_sum,)) = st.slot_reduce(
-        mesh.edgesOnCell, [(ru_p, [sign_dv]), (ru_p * theta_e, [sign_dv])])
+    ((ru_sum,), (rut_sum,)) = st.slot_reduce_m(
+        mesh, mesh.edgesOnCell,
+        [(ru_p, [sign_dv]), (ru_p * theta_e, [sign_dv])])
     rs0 = -wdiv * ru_sum
     ts0 = -wdiv * rut_sum
     if "ac_rs0" in _DEBUG_DISABLE:
@@ -324,10 +324,10 @@ def divergence_damping_3d(ac: AcousticState, state, mesh, nl, dts,
     pack and CSEs with the gathers inside advance_acoustic_step."""
     coef = 2.0 * nl.config_smdiv * nl.config_len_disp / dts
     dpp = ac.rtheta_pp - ac.rtheta_pp_old
-    dpp1, dpp2 = st.edge_pair(dpp, mesh.cellsOnEdge)
+    dpp1, dpp2 = st.edge_pair_m(mesh, dpp)
     if static is not None:
         _, _, (th1, th2) = _stage_constant_edge_pairs(state, static, mesh)
     else:
-        th1, th2 = st.edge_pair(state.theta_m, mesh.cellsOnEdge)
+        th1, th2 = st.edge_pair_m(mesh, state.theta_m)
     ru_p = ac.ru_p + coef * (dpp1 - dpp2) / (th1 + th2)
     return ac.replace(ru_p=ru_p)

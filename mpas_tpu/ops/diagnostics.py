@@ -45,7 +45,7 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
     h = state.rho_zz
 
     # edge-interpolated mass and kinetic energy
-    rho_edge = st.avg_cell_to_edge(h, mesh.cellsOnEdge)
+    rho_edge = st.avg_cell_to_edge_m(mesh, h)
     efac = (mesh.dcEdge * mesh.dvEdge)[None, :]
     ke_edge = efac * u * u
 
@@ -113,7 +113,7 @@ def compute_solve_diagnostics(state, mesh, hollingsworth: bool = False,
             mesh.verticesOnCell,
             [(pv_vertex, [kite_area * mesh.edgesOnCell_mask])])
         pv_cell = mesh.invAreaCell[None, :] * pvc_sum
-        gradPVn = st.diff_cell_to_edge(pv_cell, mesh.cellsOnEdge) / mesh.dcEdge[None, :]
+        gradPVn = st.diff_cell_to_edge_m(mesh, pv_cell) / mesh.dcEdge[None, :]
         # When reconstruct_v=False (RK stages 1-2 in srk3), this reuses the
         # stage-0 tangential velocity state.v while u and pv are current-
         # stage.  Intentional: MPAS carries the same staleness (v is only
@@ -131,10 +131,11 @@ def reconstruct_velocity(u, mesh):
     """Cell-center zonal/meridional wind from edge normal velocities
     (mpas_reconstruct_2d, dynamics_tasks.rg:1894-1948; coefficients are the
     tangent-plane LSQ matrix, mesh/coefficients.py)."""
-    ((ux, uy, uz),) = st.slot_reduce(
-        mesh.edgesOnCell, [(u, [mesh.coeffs_reconstruct[..., 0],
-                                mesh.coeffs_reconstruct[..., 1],
-                                mesh.coeffs_reconstruct[..., 2]])])
+    ((ux, uy, uz),) = st.slot_reduce_m(
+        mesh, mesh.edgesOnCell,
+        [(u, [mesh.coeffs_reconstruct[..., 0],
+              mesh.coeffs_reconstruct[..., 1],
+              mesh.coeffs_reconstruct[..., 2]])])
     clat = jnp.cos(mesh.latCell)[None, :]
     slat = jnp.sin(mesh.latCell)[None, :]
     clon = jnp.cos(mesh.lonCell)[None, :]
@@ -153,7 +154,7 @@ def init_coupled_diagnostics(state, static, mesh, vert):
     rcv = rgas / (cp - rgas)
 
     rho_zz = state.rho_zz / static.zz
-    ru = st.avg_cell_to_edge(rho_zz, mesh.cellsOnEdge) * state.u
+    ru = st.avg_cell_to_edge_m(mesh, rho_zz) * state.u
 
     # rw = rho*omega from w and ru (inverse of the recover procedure)
     zz_i = st.interface_interp(static.zz, vert.fzm, vert.fzp)         # [K+1, C]
@@ -162,8 +163,8 @@ def init_coupled_diagnostics(state, static, mesh, vert):
 
     # subtract the sloping-coordinate metric transport
     flux_e = st.interface_interp(ru, vert.fzm, vert.fzp)              # [K+1, E]
-    metric = st.zb_metric(flux_e, mesh.edgesOnCell, mesh.edgesOnCellSign,
-                          static.zb_cell, static.zb3_cell)            # [K+1, C]
+    metric = st.zb_metric_m(mesh, flux_e, mesh.edgesOnCellSign,
+                            static.zb_cell, static.zb3_cell)            # [K+1, C]
     rw = rw - metric * zz_i
 
     rho_p = rho_zz - static.rho_base

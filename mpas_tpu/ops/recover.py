@@ -66,7 +66,7 @@ def compute_moist_coefficients(state, mesh):
     qtot = jnp.sum(state.scalars, axis=0)                    # [K, C]
     q_i = 0.5 * (qtot[1:] + qtot[:-1])                       # interfaces 1..K-1
     cqw = jnp.ones_like(qtot).at[1:].set(1.0 / (1.0 + q_i))
-    q1, q2 = st.edge_pair(qtot, mesh.cellsOnEdge)
+    q1, q2 = st.edge_pair_m(mesh, qtot)
     cqu = 1.0 / (1.0 + 0.5 * (q1 + q2))
     return state.replace(qtot=qtot, cqw=cqw, cqu=cqu)
 
@@ -80,8 +80,8 @@ def set_smlstep_pert_variables(tend, static, mesh, vert, nl=None):
     per-cell branch (:1517)."""
     Kp1 = tend.tend_w.shape[0]
     flux_e = st.interface_interp(tend.tend_u, vert.fzm, vert.fzp)    # [K+1, E]
-    metric = st.zb_metric(flux_e, mesh.edgesOnCell, mesh.edgesOnCellSign,
-                          static.zb_cell, static.zb3_cell)
+    metric = st.zb_metric_m(mesh, flux_e, mesh.edgesOnCellSign,
+                            static.zb_cell, static.zb3_cell)
     zz_i = st.interface_interp(static.zz, vert.fzm, vert.fzp)
     tend_w = (tend.tend_w - metric) * zz_i
     tend_w = tend_w.at[0].set(0.0).at[Kp1 - 1].set(0.0)
@@ -122,7 +122,7 @@ def recover_large_step_variables(state, ac, ruAvg, wwAvg, save, static, mesh,
 
     ruAvg = save.ru_save + ruAvg * inv_ns
     ru = save.ru_save + ac.ru_p
-    rz1, rz2 = st.edge_pair(rho_zz, mesh.cellsOnEdge)
+    rz1, rz2 = st.edge_pair_m(mesh, rho_zz)
     u = 2.0 * ru / (rz1 + rz2)
 
     # --- diagnose w from rho*omega (Klemp et al 2003 flux-divergence form) ---
@@ -135,8 +135,8 @@ def recover_large_step_variables(state, ac, ruAvg, wwAvg, save, static, mesh,
     flux_sfc = vert.cf1 * ru[0] + vert.cf2 * ru[1] + vert.cf3 * ru[2]
     flux_e = flux_e.at[0].set(flux_sfc)
 
-    metric = st.zb_metric(flux_e, mesh.edgesOnCell, mesh.edgesOnCellSign,
-                          static.zb_cell, static.zb3_cell)
+    metric = st.zb_metric_m(mesh, flux_e, mesh.edgesOnCellSign,
+                            static.zb_cell, static.zb3_cell)
     w = w + metric                                                   # adds surface row too
 
     rho_i = st.interface_interp(rho_zz, fzm, fzp)

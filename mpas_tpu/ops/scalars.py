@@ -32,7 +32,7 @@ def _mass_divergence(ruAvg, wwAvg, mesh, rdzw):
     """rho update implied by the averaged fluxes: drho = -div(ruAvg) -
     d(wwAvg)/dzeta, returned as the per-dt tendency."""
     sign_dv = mesh.edgesOnCellSign * jnp.take(mesh.dvEdge, mesh.edgesOnCell)
-    h_div = st.sum_edges_to_cell(ruAvg, mesh.edgesOnCell, sign_dv) \
+    h_div = st.sum_edges_to_cell_m(mesh, ruAvg, sign_dv) \
         * mesh.invAreaCell[None, :]
     return -h_div - rdzw[:, None] * st.delta(wwAvg)
 
@@ -57,7 +57,7 @@ def advance_scalars(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
         else:
             fe = st.adv_flux_on_edge(q, flow_sign, mesh.advCellsForEdge,
                                      mesh.adv_coefs, mesh.adv_coefs_3rd)
-        h_tend = -st.sum_edges_to_cell(ruAvg * fe, mesh.edgesOnCell, sign_only) \
+        h_tend = -st.sum_edges_to_cell_m(mesh, ruAvg * fe, sign_only) \
             * mesh.invAreaCell[None, :]
         wq = st.vflux_mass_to_iface(q, wwAvg, fzm, fzp, nl.config_coef_3rd_order)
         v_tend = -rdzw[:, None] * st.delta(wq)
@@ -85,7 +85,7 @@ def advance_scalars_mono(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
     up = 0.5 * (1.0 + flow_sign)          # 1 if flow from cell1 -> cell2
 
     def one(q):
-        q1, q2 = st.edge_pair(q, coe)
+        q1, q2 = st.edge_pair_m(mesh, q)
 
         # ---- low-order (upwind) fluxes ----
         f_low_e = ruAvg * (up * q1 + (1.0 - up) * q2) * mesh.dvEdge[None, :]
@@ -95,7 +95,7 @@ def advance_scalars_mono(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
         f_low_v = wwAvg * jnp.where(wwAvg > 0, qkm1, qk)
         f_low_v = f_low_v.at[0].set(0.0).at[K].set(0.0)
 
-        h_low = -st.sum_edges_to_cell(f_low_e, eoc, sign_only) * inv_area
+        h_low = -st.sum_edges_to_cell_m(mesh, f_low_e, sign_only) * inv_area
         v_low = -rdzw[:, None] * st.delta(f_low_v)
         rq_td = q * rho_zz_old + dt * (h_low + v_low)   # transported-diffused
         q_td = rq_td / rho_new
@@ -159,7 +159,7 @@ def advance_scalars_mono(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
 
         # edge limiter: min of donor r_minus and receiver r_plus; one
         # stacked gather serves both limiter fields
-        (rp1, rp2), (rm1, rm2) = st.edge_pairs(coe, r_plus, r_minus)
+        (rp1, rp2), (rm1, rm2) = st.edge_pairs_m(mesh, r_plus, r_minus)
         # positive a_e moves mass from cell1 to cell2
         lim_e = jnp.where(a_e > 0, jnp.minimum(rm1, rp2), jnp.minimum(rm2, rp1))
         a_e_lim = lim_e * a_e
@@ -171,7 +171,7 @@ def advance_scalars_mono(scalars, rho_zz_old, ruAvg, wwAvg, mesh, vert, nl, dt):
         lim_v = jnp.where(a_v > 0, jnp.minimum(rmkm, rpk), jnp.minimum(rmk, rpkm))
         a_v_lim = (lim_v * a_v).at[0].set(0.0).at[K].set(0.0)
 
-        h_corr = -st.sum_edges_to_cell(a_e_lim, eoc, sign_only) * inv_area
+        h_corr = -st.sum_edges_to_cell_m(mesh, a_e_lim, sign_only) * inv_area
         v_corr = -rdzw[:, None] * st.delta(a_v_lim)
         return (rq_td + dt * (h_corr + v_corr)) / rho_new
 

@@ -30,8 +30,11 @@ TPU lane dimension.  Measured on v5e (tools/layout_study*.py):
 
 from __future__ import annotations
 
+import hashlib
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -81,14 +84,52 @@ def edge_pair(f_c, cellsOnEdge):
             jnp.take(f_c, cellsOnEdge[:, 1], axis=1))
 
 
+def owner_tile(f_c, n_slots: int = 3):
+    """Owner-side edge values of a cell field on an ownership-aligned mesh
+    (mesh/orient.py: edge_id = slot*C + owner, so cellsOnEdge[e, 0] ==
+    e % C): f [K, C] -> [K, n_slots*C] by lane tiling — three full-width
+    copies at streaming bandwidth instead of a per-column lane gather."""
+    return jnp.concatenate((f_c,) * n_slots, axis=1)
+
+
+def _aligned(mesh) -> bool:
+    return bool(getattr(mesh, "owner_aligned", False))
+
+
+def edge_pairs_m(mesh, *fields):
+    """edge_pairs keyed off the MeshArrays: on an ownership-aligned mesh
+    the cell1 side is owner_tile (no gather); only cell2 gathers."""
+    if _aligned(mesh):
+        g1 = [owner_tile(f) for f in fields]
+        g2 = take_packed(mesh.cellsOnEdge[:, 1], *fields)
+        return list(zip(g1, g2))
+    return edge_pairs(mesh.cellsOnEdge, *fields)
+
+
+def edge_pair_m(mesh, f_c):
+    if _aligned(mesh):
+        return owner_tile(f_c), jnp.take(f_c, mesh.cellsOnEdge[:, 1], axis=1)
+    return edge_pair(f_c, mesh.cellsOnEdge)
+
+
 def avg_cell_to_edge(f_c, cellsOnEdge):
     c1, c2 = edge_pair(f_c, cellsOnEdge)
+    return 0.5 * (c1 + c2)
+
+
+def avg_cell_to_edge_m(mesh, f_c):
+    c1, c2 = edge_pair_m(mesh, f_c)
     return 0.5 * (c1 + c2)
 
 
 def diff_cell_to_edge(f_c, cellsOnEdge):
     """f(cell2) - f(cell1): the gradient numerator along the edge normal."""
     c1, c2 = edge_pair(f_c, cellsOnEdge)
+    return c2 - c1
+
+
+def diff_cell_to_edge_m(mesh, f_c):
+    c1, c2 = edge_pair_m(mesh, f_c)
     return c2 - c1
 
 
@@ -118,6 +159,107 @@ def slot_reduce(idx, specs):
                 t = w[:, m][None, :] * gi
                 accs[i][j] = t if accs[i][j] is None else accs[i][j] + t
     return accs
+
+
+_eoc_split_cache: dict = {}
+
+
+def _eoc_split(mesh):
+    """Host-side static split of edgesOnCell into the 3 OWNED slot planes
+    and the compacted non-owned slots, for ownership-aligned meshes
+    (mesh/orient.py: cell c's owned edges are s*C + c, s in 0..2).
+
+    Returns dict with, per plane s: pos_s [C] (slot index of the plane-s
+    owned edge in the row, 0 where absent) and pres_s [C] (1.0/0.0); and
+    for the non-owned remainder: sel [C, Mn] (row slot positions),
+    idx [C, Mn] (edge ids), pres [C, Mn].  All numpy (statics are host
+    numpy by design — docs/PERF.md round-4 finding 1)."""
+    eoc = np.asarray(mesh.edgesOnCell)
+    key = (hashlib.sha1(eoc.tobytes()).digest(), eoc.shape)
+    hit = _eoc_split_cache.get(key)
+    if hit is not None:
+        return hit
+    mask = np.asarray(mesh.edgesOnCell_mask) > 0
+    C, M = eoc.shape
+    cid = np.arange(C)
+    owned = mask & ((eoc % C) == cid[:, None])
+    plane = eoc // C                                       # [C, M]
+    planes = []
+    for s in range(3):
+        sel_s = owned & (plane == s)
+        pres = sel_s.any(axis=1)
+        pos = np.where(pres, sel_s.argmax(axis=1), 0)
+        planes.append((pos.astype(np.int64), pres.astype(np.float64)))
+    non = mask & ~owned
+    Mn = int(non.sum(axis=1).max())
+    order = np.argsort(~non, axis=1, kind="stable")        # non-owned first
+    sel = order[:, :Mn]
+    pres = np.take_along_axis(non, sel, axis=1)
+    idx = np.take_along_axis(eoc, sel, axis=1)
+    # absent entries point at the row's own first edge (benign; weight 0)
+    idx = np.where(pres, idx, eoc[:, :1])
+    out = dict(planes=planes, sel=sel.astype(np.int64),
+               idx=idx.astype(np.int32), pres=pres.astype(np.float64))
+    _eoc_split_cache[key] = out
+    return out
+
+
+def _split_weights(w, split):
+    """Per-plane owned weights [3 x [C]] and compacted non-owned weights
+    [C, Mn] from a [C, M] weight array (numpy -> free at trace time;
+    traced -> tiny take_along_axis ops)."""
+    xp = np if isinstance(w, np.ndarray) else jnp
+    w_planes = []
+    for pos, pres in split["planes"]:
+        ws = xp.take_along_axis(w, xp.asarray(pos[:, None]), axis=1)[:, 0]
+        w_planes.append(ws * xp.asarray(pres.astype(w.dtype)))
+    w_no = (xp.take_along_axis(w, xp.asarray(split["sel"]), axis=1)
+            * xp.asarray(split["pres"].astype(w.dtype)))
+    return w_planes, w_no
+
+
+def slot_reduce_m(mesh, idx, specs):
+    """slot_reduce with the ownership-aligned fast path when `idx` is the
+    edgesOnCell table of an aligned mesh: each cell's 3 OWNED edges are the
+    lane slices [:, s*C:(s+1)*C] of the edge table (no gather); only the
+    ~3 non-owned slots gather.  Falls back to slot_reduce otherwise."""
+    if not (_aligned(mesh) and idx is mesh.edgesOnCell):
+        return slot_reduce(idx, specs)
+    split = _eoc_split(mesh)
+    C = idx.shape[0]
+    fields = [f for f, _ in specs]
+    heights = [f.shape[0] for f in fields]
+    tbl = fields[0] if len(fields) == 1 else jnp.concatenate(fields, axis=0)
+    offs = [0]
+    for h in heights:
+        offs.append(offs[-1] + h)
+    accs = [[None] * len(wl) for _, wl in specs]
+
+    def add(i, j, term):
+        accs[i][j] = term if accs[i][j] is None else accs[i][j] + term
+
+    w_split = [[_split_weights(w, split) for w in wl] for _, wl in specs]
+    # owned planes: pure lane slices of the stacked table
+    for s in range(3):
+        g = tbl[:, s * C:(s + 1) * C]
+        for i, (_, wl) in enumerate(specs):
+            gi = g[offs[i]:offs[i + 1]]
+            for j in range(len(wl)):
+                add(i, j, jnp.asarray(w_split[i][j][0][s])[None, :] * gi)
+    # compacted non-owned slots: one gather each
+    idx_no = split["idx"]
+    for m in range(idx_no.shape[1]):
+        g = jnp.take(tbl, idx_no[:, m], axis=1)
+        for i, (_, wl) in enumerate(specs):
+            gi = g[offs[i]:offs[i + 1]]
+            for j in range(len(wl)):
+                add(i, j, jnp.asarray(w_split[i][j][1][:, m])[None, :] * gi)
+    return accs
+
+
+def sum_edges_to_cell_m(mesh, f_e, weights):
+    ((out,),) = slot_reduce_m(mesh, mesh.edgesOnCell, [(f_e, [weights])])
+    return out
 
 
 def slot_gather(idx, field):
@@ -221,6 +363,36 @@ def zb_metric(flux_e, edgesOnCell, sign, zb_cell, zb3_cell):
         zb = zb_cell[m] + jnp.sign(g) * zb3_cell[m]
         t = sign[:, m][None, :] * zb * g
         acc = t if acc is None else acc + t
+    return acc
+
+
+def zb_metric_m(mesh, flux_e, sign, zb_cell, zb3_cell):
+    """zb_metric with the ownership-aligned fast path: the 3 owned slots
+    are lane slices; zb/zb3/sign slot tables are host-numpy statics, so
+    their per-plane re-indexing happens at trace time for free."""
+    if not _aligned(mesh):
+        return zb_metric(flux_e, mesh.edgesOnCell, sign, zb_cell, zb3_cell)
+    split = _eoc_split(mesh)
+    C = mesh.edgesOnCell.shape[0]
+    cid = np.arange(C)
+    zbc = np.asarray(zb_cell)                   # [M, K+1, C] static
+    zb3c = np.asarray(zb3_cell)
+    sgn = np.asarray(sign)                      # [C, M] static
+    acc = None
+
+    def term(g, pos, pres):
+        zb_s = np.ascontiguousarray(zbc[pos, :, cid].T)      # [K+1, C]
+        zb3_s = np.ascontiguousarray(zb3c[pos, :, cid].T)
+        s_s = (sgn[cid, pos] * pres).astype(zbc.dtype)       # [C]
+        return s_s[None, :] * (zb_s + jnp.sign(g) * zb3_s) * g
+
+    for s, (pos, pres) in enumerate(split["planes"]):
+        t = term(flux_e[:, s * C:(s + 1) * C], pos, pres)
+        acc = t if acc is None else acc + t
+    idx_no, sel, pres_no = split["idx"], split["sel"], split["pres"]
+    for m in range(idx_no.shape[1]):
+        g = jnp.take(flux_e, idx_no[:, m], axis=1)
+        acc = acc + term(g, sel[:, m], pres_no[:, m])
     return acc
 
 

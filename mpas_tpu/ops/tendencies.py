@@ -124,7 +124,7 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     # the cell-form advection can use the theta/w pairs for its 2nd-order
     # part) ----
     # static zz is gathered separately so XLA CSEs it across RK stages
-    zz1, zz2 = st.edge_pair(static.zz, coe)
+    zz1, zz2 = st.edge_pair_m(mesh, static.zz)
     if rk_step == 0:
         kdiff0 = (jnp.zeros_like(state.theta_m)
                   if nl.config_horiz_mixing == "2d_fixed"
@@ -137,13 +137,13 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
         # not yet known at this point, so gather the rk0-only mixing inputs
         # here and the dpdz/hd pair below with the flux pack
         ((pp1, pp2), (ke1, ke2), (tm1, tm2), (div1, div2), (kd1, kd2),
-         (w1, w2), (rw1, rw2), (kdi1, kdi2)) = st.edge_pairs(
-            coe, state.pressure_p, state.ke, state.theta_m,
+         (w1, w2), (rw1, rw2), (kdi1, kdi2)) = st.edge_pairs_m(
+            mesh, state.pressure_p, state.ke, state.theta_m,
             state.divergence, kdiff0, state.w, state.rw, kdiff_i)
     else:
         ((pp1, pp2), (ke1, ke2), (tm1, tm2), (w1, w2),
-         (rw1, rw2)) = st.edge_pairs(
-            coe, state.pressure_p, state.ke, state.theta_m, state.w, state.rw)
+         (rw1, rw2)) = st.edge_pairs_m(
+            mesh, state.pressure_p, state.ke, state.theta_m, state.w, state.rw)
     rw_e = 0.5 * (rw1 + rw2)                                           # [K+1, E]
 
     # ---- horizontal 3rd-order advective edge values ----
@@ -186,7 +186,7 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
 
     # ---- perturbation theta flux needs theta_m_save edge values first ----
     if rk_step > 0:
-        (ts1, ts2), = st.edge_pairs(coe, save.theta_m_save)
+        (ts1, ts2), = st.edge_pairs_m(mesh, save.theta_m_save)
         pert = (save.ru_save - state.ru) * 0.5 * (ts1 + ts2)           # [K, E]
 
     # ---- main edge->cell sums (stacked slot reductions); the cell-form
@@ -199,7 +199,7 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
     has_pert = rk_step > 0 and "theta_pert_flux" not in _DEBUG_DISABLE
     if has_pert:
         specs.append((pert, [sign_dv]))
-    red = st.slot_reduce(eoc, specs)
+    red = st.slot_reduce_m(mesh, eoc, specs)
     pert_sum = red[3][0] if has_pert else None
     if cell_form:
         gu_slots = st.slot_gather(eoc, state.u)
@@ -234,9 +234,9 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
 
     # ---- edge pairs of cell fields computed within this call ----
     if rk_step == 0:
-        (dpdz1, dpdz2), (hd1, hd2) = st.edge_pairs(coe, dpdz, h_divergence)
+        (dpdz1, dpdz2), (hd1, hd2) = st.edge_pairs_m(mesh, dpdz, h_divergence)
     else:
-        (hd1, hd2), = st.edge_pairs(coe, h_divergence)
+        (hd1, hd2), = st.edge_pairs_m(mesh, h_divergence)
 
     # =================== U section ===================
     if rk_step == 0:
@@ -316,8 +316,8 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
         theta_turb_k = theta_turb * kd_e2 * (prandtl_inv * mesh.meshScalingDel2[None, :])
 
         ((delsq_w,), (tend_w_euler,), (delsq_theta,), (tend_theta_euler,),
-         (du_sum,)) = st.slot_reduce(
-            eoc, [(w_turb, [edge_sign_w]), (w_turb_k, [edge_sign_w]),
+         (du_sum,)) = st.slot_reduce_m(
+            mesh, eoc, [(w_turb, [edge_sign_w]), (w_turb_k, [edge_sign_w]),
                   (theta_turb, [edge_sign_t]), (theta_turb_k, [edge_sign_t]),
                   (delsq_u, [sign_dv])])
         delsq_divergence = du_sum * mesh.invAreaCell[None, :]
@@ -331,8 +331,8 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
             dv_v1 = jnp.take(delsq_vorticity, mesh.verticesOnEdge[:, 0], axis=1)
             dv_v2 = jnp.take(delsq_vorticity, mesh.verticesOnEdge[:, 1], axis=1)
             # delsq cell fields: one stacked edge-pair gather
-            ((dd1, dd2), (dw1, dw2), (dt1, dt2)) = st.edge_pairs(
-                coe, delsq_divergence, delsq_w, delsq_theta)
+            ((dd1, dd2), (dw1, dw2), (dt1, dt2)) = st.edge_pairs_m(
+                mesh, delsq_divergence, delsq_w, delsq_theta)
             u_mix_scale = mesh.meshScalingDel4[None, :] * h_mom_eddy_visc4
             r_dc4 = u_mix_scale * nl.config_del4u_div_factor * mesh.invDcEdge[None, :]
             r_dv4 = u_mix_scale * jnp.minimum(mesh.invDvEdge, 4.0 * mesh.invDcEdge)[None, :]
@@ -346,8 +346,9 @@ def compute_dyn_tend(state, save, static, mesh, vert, nl, rk_step: int,
             edge_sign_t4 = (h_theta_eddy_visc4 * prandtl_inv
                             * mesh.invAreaCell[:, None] * sign_dv
                             * jnp.take(mesh.invDcEdge * mesh.meshScalingDel4, eoc))
-            ((ddw_sum,), (ddt_sum,)) = st.slot_reduce(
-                eoc, [(dw2 - dw1, [edge_sign_w4]), (dt2 - dt1, [edge_sign_t4])])
+            ((ddw_sum,), (ddt_sum,)) = st.slot_reduce_m(
+                mesh, eoc, [(dw2 - dw1, [edge_sign_w4]),
+                            (dt2 - dt1, [edge_sign_t4])])
             tend_w_euler = tend_w_euler - ddw_sum
             tend_theta_euler = tend_theta_euler - ddt_sum
 

@@ -252,7 +252,11 @@ def shard_model(model, n_shards: int, metis_path: str | None = None,
                                                 lambda idx: x[idx])
         return jax.device_put(jnp.asarray(x), sh)
 
-    marr = core_state.MeshArrays(**{k: put(v) for k, v in marr_np.items()})
+    # owner_aligned never holds for the per-shard LOCAL numbering (the
+    # global slot-major invariant does not survive the local remap), so the
+    # sharded step always takes the gather path for cell1 reads
+    marr = core_state.MeshArrays(**{k: put(v) for k, v in marr_np.items()},
+                                 owner_aligned=False)
     static = core_state.StaticState(**{k: put(v) for k, v in static_np.items()})
     state = core_state.State(**{k: (None if v is None else put(v))
                                 for k, v in state_np.items()})

@@ -202,13 +202,13 @@ def apply_pbl(state, static, vert, mesh, nl, dt: float):
 
     # momentum: diffuse edge-normal u with cell quantities averaged to edges
     coe = mesh.cellsOnEdge
-    (km1, km2), (rho1, rho2), (rhoi1, rhoi2), (drag1, drag2) = st.edge_pairs(
-        coe, km_i, rho, rho_i, jnp.broadcast_to(drag[None, :], (1,) + drag.shape))
+    (km1, km2), (rho1, rho2), (rhoi1, rhoi2), (drag1, drag2) = st.edge_pairs_m(
+        mesh, km_i, rho, rho_i, jnp.broadcast_to(drag[None, :], (1,) + drag.shape))
     km_e = 0.5 * (km1 + km2)
     rho_e = 0.5 * (rho1 + rho2)
     rhoi_e = 0.5 * (rhoi1 + rhoi2)
     drag_e = 0.5 * (drag1[0] + drag2[0])
-    zg1, zg2 = st.edge_pair(static.zgrid, coe)
+    zg1, zg2 = st.edge_pair_m(mesh, static.zgrid)
     zg_e = 0.5 * (zg1 + zg2)
     u_new = implicit_diffusion(state.u, km_e, rho_e, rhoi_e, zg_e, dt,
                                sfc_drag=drag_e)
@@ -221,7 +221,7 @@ def apply_pbl(state, static, vert, mesh, nl, dt: float):
         exner * rtheta_p + static.rtheta_base * (exner - static.exner_base))
 
     # recouple ru exactly as atm_init_coupled_diagnostics does
-    ru_new = st.avg_cell_to_edge(state.rho_zz, coe) * u_new
+    ru_new = st.avg_cell_to_edge_m(mesh, state.rho_zz) * u_new
     out = dict(theta_m=theta_m, rtheta_p=rtheta_p, exner=exner,
                pressure_p=pressure_p, u=u_new, ru=ru_new)
     if qv_new is not None:
