@@ -236,7 +236,7 @@ def make_step_fn(static, mesh, vert, nl, dt=None):
     dt = nl.config_dt if dt is None else dt
     opts = None
     if getattr(nl, "config_fast_compile", False):
-        opts = {"xla_tpu_exec_time_optimization_effort": -1.0}
+        opts = {"exec_time_optimization_effort": -1.0}
 
     @partial(jax.jit, compiler_options=opts)
     def step(state):

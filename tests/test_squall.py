@@ -1,11 +1,17 @@
 """Weisman-Klemp reduced-planet convective storm case (init/squall.py,
-config_init_case=22): sounding structure, balance, and a coupled
-convection-permitting smoke run with full WSM6 graupel microphysics."""
+config_init_case=22): sounding structure, balance, a coupled
+convection-permitting smoke run with full WSM6 graupel microphysics, and
+the 2-hour TPU free-run artifact (tools/supercell_run.py)."""
+
+import os
 
 import numpy as np
 import pytest
 
 jnp = pytest.importorskip("jax.numpy")
+
+ARTIFACT = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "validation", "supercell_state.npz")
 
 
 def _nl(**kw):
@@ -89,3 +95,41 @@ def test_bubble_triggers_convection_with_graupel():
     # condensate formed (cloud water/ice somewhere in the updraft)
     assert scal[1:].max() > 1e-6, scal[1:].max()
     assert float(np.asarray(m.state.rainnc).min()) >= 0.0
+
+
+@pytest.mark.skipif(not os.path.exists(ARTIFACT),
+                    reason="supercell artifact not generated")
+class TestSupercellArtifact:
+    """The 2-simulated-hour TPU free run at convection-permitting spacing
+    (4.8 km, 24 levels, full WSM6 + PBL; tools/supercell_run.py)."""
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        return np.load(ARTIFACT)
+
+    def test_deep_convection_developed(self, data):
+        """Updraft reaches deep-convective magnitude but stays bounded."""
+        wmax = data["wmax_series"]
+        assert wmax.max() > 3.0, wmax
+        assert np.abs(data["w"]).max() < 60.0
+
+    def test_precipitation_accumulates(self, data):
+        rain = data["rain_series"]
+        assert rain[-1] > 0.1, rain          # mm at the surface
+        assert np.all(np.diff(rain) >= -1e-9)  # monotone accumulation
+
+    def test_six_species_active_and_bounded(self, data):
+        """All six WSM6 species are finite/nonnegative and the cold
+        microphysics engaged: ice-phase condensate (qi+qs+qg) formed where
+        the column is below freezing."""
+        scal = data["scalars"]               # [6, K, C]
+        assert scal.shape[0] == 6
+        assert np.isfinite(scal).all()
+        assert scal.min() >= -1e-12
+        assert scal[1:3].max() > 1e-6        # liquid condensate
+        assert scal[3:6].max() > 1e-7, scal[3:6].max()  # ice phase engaged
+
+    def test_no_nans_theta_bounded(self, data):
+        th = data["theta_m"]
+        assert np.isfinite(th).all()
+        assert 200.0 < th.min() and th.max() < 1200.0

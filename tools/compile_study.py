@@ -44,8 +44,8 @@ def main():
     results = []
     for label, opts in (
             ("default", None),
-            ("effort=-0.5", {"xla_tpu_exec_time_optimization_effort": -0.5}),
-            ("effort=-1.0", {"xla_tpu_exec_time_optimization_effort": -1.0})):
+            ("effort=-0.5", {"exec_time_optimization_effort": -0.5}),
+            ("effort=-1.0", {"exec_time_optimization_effort": -1.0})):
         t0 = time.time()
         compiled = lowered.compile(compiler_options=opts)
         t_c = time.time() - t0

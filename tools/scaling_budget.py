@@ -39,7 +39,9 @@ ICI_BW_PER_PAIR = 45e9        # B/s effective one-way per neighbor pair
 LAT = 2e-6                    # s per collective
 K = 41
 BYTES = 4
-CHIP_CELL_LEVELS_PER_S = 20.8e6   # BENCH_r03 single-chip measured
+# round-5 bench.py measurement (cross-day tunnel variance +-20%,
+# docs/PERF.md round-5 finding 2; override with MPAS_CHIP_RATE)
+CHIP_CELL_LEVELS_PER_S = float(os.environ.get("MPAS_CHIP_RATE", 22.0e6))
 
 
 def budget(mesh, S, nl):
