@@ -33,12 +33,16 @@ def test_analyzer_counts_inflight_compute():
     assert sorted(pairs) == [0, 3]
 
 
-def test_artifact_invariants():
+import pytest
+
+
+@pytest.mark.parametrize("fname", ["aot_schedule.json",
+                                   "aot_schedule_x1163842.json"])
+def test_artifact_invariants(fname):
     path = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
-                        "validation", "aot_schedule.json")
+                        "validation", fname)
     if not os.path.exists(path):
-        import pytest
-        pytest.skip("aot_schedule.json not generated in this checkout")
+        pytest.skip(f"{fname} not generated in this checkout")
     data = json.load(open(path))
     # round-5 format: one entry per studied topology (2x2 / 2x4 / 4x4)
     arts = data["topologies"] if "topologies" in data else [data]

@@ -136,8 +136,12 @@ def main():
         a["mesh"] = mesh_name
 
     import json
+    # the default (bundled-mesh) study owns aot_schedule.json; generated-
+    # mesh studies write a mesh-suffixed artifact so they don't clobber it
+    fname = ("aot_schedule.json" if not gen_levels
+             else f"aot_schedule_{mesh_name.replace('.', '')}.json")
     path = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
-                        "validation", "aot_schedule.json")
+                        "validation", fname)
     json.dump({"topologies": arts}, open(path, "w"), indent=1)
     print("\nartifact:", path)
     for a in arts:
