@@ -98,7 +98,9 @@ def main(argv=None):
         from .mesh.writer import generate_and_cache
         levels = int(args.grid.split(":")[1])
         log(f"generating (or loading cached) x1.{10 * 4 ** levels + 2} CVT mesh ...")
-        mesh = generate_and_cache(levels)
+        # honor a reduced-planet namelist (DCMIP-style small-sphere cases)
+        mesh = generate_and_cache(levels,
+                                  sphere_radius=nl.config_sphere_radius)
         grid_path = None
     else:
         grid_path = args.grid

@@ -56,9 +56,13 @@ def fall_substeps(dt: float, dz_min: float) -> int:
 
 
 def _fall_velocity(qr, rho):
-    """Rain terminal fall speed [m/s]; rho is dry air density [kg/m^3]."""
+    """Rain terminal fall speed [m/s]; rho is dry air density [kg/m^3].
+    Capped at MAX_VT — the bound fall_substeps sizes the sedimentation
+    CFL against (the low-density rhofac amplification could otherwise
+    exceed it aloft in extreme columns)."""
     rhofac = jnp.sqrt(rho[:1] / jnp.maximum(rho, 1e-12))
-    return 36.34 * jnp.maximum(qr * rho * 0.001, 0.0) ** 0.1364 * rhofac
+    vt = 36.34 * jnp.maximum(qr * rho * 0.001, 0.0) ** 0.1364 * rhofac
+    return jnp.minimum(vt, MAX_VT)
 
 
 def _sediment(qr, rho, dz, dt: float, nfall: int):

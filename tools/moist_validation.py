@@ -34,12 +34,20 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 def main():
     days = float(sys.argv[1]) if len(sys.argv) > 1 else 15.0
     levels = int(sys.argv[2]) if len(sys.argv) > 2 else 4   # 2562 cells
+    # round 5: "wsm6" runs the full 6-class ice-phase scheme + YSU-lite
+    # PBL for the 15 days (the global climate-regime stability check of
+    # the new physics) and writes jw15_moist_wsm6.npz
+    mp = sys.argv[3] if len(sys.argv) > 3 else "kessler"
+    global OUT
+    if mp != "kessler":
+        OUT = OUT.replace("jw15_moist.npz", f"jw15_moist_{mp}.npz")
     mesh = generate_and_cache(levels)
     # the moist JW initialization (init/jw.py moisture branch: the MPAS
     # relative-humidity profile, hydrostatically re-iterated with qv)
     nl = Namelist(config_nvertlevels=26, config_ztop=30000.0, dtype="float32",
                   config_dt=450.0, config_jw_u_perturbation=1.0,
-                  config_moisture=True, config_microphysics="kessler")
+                  config_moisture=True, config_microphysics=mp,
+                  config_pbl=("ysu_lite" if mp == "wsm6" else "off"))
     m = build_model(namelist=nl, mesh=mesh)
 
     n_steps = int(days * 86400 / nl.config_dt)
@@ -69,6 +77,7 @@ def main():
         theta_m=np.asarray(st.theta_m).T,
         qv=np.asarray(st.scalars[0]).T, qc=np.asarray(st.scalars[1]).T,
         qr=np.asarray(st.scalars[2]).T,
+        scalars=np.asarray(st.scalars),
         rainnc=np.asarray(st.rainnc),
         rain_series=np.asarray(rain_series),
         latCell=mesh.latCell, lonCell=mesh.lonCell,
