@@ -40,24 +40,37 @@ def measure(mesh, nl_kw, steps=BENCH_STEPS):
                   dtype="float32", config_jw_u_perturbation=1.0, **nl_kw)
     m = build_model(namelist=nl, mesh=mesh)
 
-    def run(n):
-        s = m.state
+    # Every timed batch CHAINS from the evolved state so no two executions
+    # ever see identical inputs: the remote (axon) backend memoizes
+    # repeated identical executions, which made re-run-from-initial-state
+    # differentials report times BELOW the XProf-measured device op time
+    # (docs/PERF.md round-5 finding 2).  Chained differential timing with
+    # a terminal scalar fetch cancels dispatch/tunnel RTT while defeating
+    # the memoization.
+    s = m.state
+    for _ in range(3):                        # compile + warm
+        s = m.step_fn(s)
+    float(s.u[0, 0])
+
+    def run(s, n):
         for _ in range(n):
             s = m.step_fn(s)
-        return float(s.u[0, 0])
+        float(s.u[0, 0])                      # sync
+        return s
 
-    run(3)                                    # compile + warm
-
-    def best_time(n, reps=3):
+    def chained_diff(n, reps=3):
+        nonlocal s
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            run(n)
-            best = min(best, time.perf_counter() - t0)
+            s = run(s, 5)
+            t1 = time.perf_counter()
+            s = run(s, 5 + n)
+            t2 = time.perf_counter()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / n)
         return best
 
-    elapsed = best_time(5 + steps) - best_time(5)
-    return elapsed / steps, m.mesh.nCells
+    return chained_diff(steps), m.mesh.nCells
 
 
 def main():
