@@ -36,8 +36,13 @@ def measure(mesh, nl_kw, steps=BENCH_STEPS):
     from mpas_tpu.config import Namelist
     from mpas_tpu.dynamics.model import build_model
 
+    # ownership-aligned edge numbering: the recommended single-chip
+    # production setting — XProf device time 63.7 vs 75.5 ms/step at
+    # x1.40962/41L (docs/PERF.md round-5 finding 1); trajectory-equivalent
+    # to the default numbering (tests/test_orient.py)
     nl = Namelist(config_nvertlevels=N_LEVELS, config_ztop=30000.0,
-                  dtype="float32", config_jw_u_perturbation=1.0, **nl_kw)
+                  dtype="float32", config_jw_u_perturbation=1.0,
+                  config_orient_edges=True, **nl_kw)
     m = build_model(namelist=nl, mesh=mesh)
 
     # Every timed batch CHAINS from the evolved state so no two executions

@@ -14,21 +14,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def measure(nl, mesh, steps=20):
+    """Chained differential timing: every batch continues from the evolved
+    state so no two executions share inputs — the remote backend memoizes
+    identical executions, which made the original same-input form report
+    below physical device time (docs/PERF.md round-5 finding 2)."""
     from mpas_tpu.dynamics.model import build_model
     m = build_model(namelist=nl, mesh=mesh)
 
-    def run(n):
-        s = m.state
+    def run(s, n):
         for _ in range(n):
             s = m.step_fn(s)
-        return float(s.u[0, 0])
+        float(s.u[0, 0])                  # sync
+        return s
 
     t0 = time.time()
-    run(3)
+    s = run(m.state, 3)
     print(f"  compile+warm {time.time()-t0:.0f} s", flush=True)
-    t1 = time.time(); run(steps); t2 = time.time(); run(2 * steps); t3 = time.time()
-    ms = (t3 - t2 - (t2 - t1)) / steps * 1e3
-    return ms, m
+    best = float("inf")
+    for _ in range(3):
+        t1 = time.time()
+        s = run(s, 5)
+        t2 = time.time()
+        s = run(s, 5 + steps)
+        t3 = time.time()
+        best = min(best, ((t3 - t2) - (t2 - t1)) / steps * 1e3)
+    return best, m
 
 
 def main():

@@ -39,9 +39,11 @@ ICI_BW_PER_PAIR = 45e9        # B/s effective one-way per neighbor pair
 LAT = 2e-6                    # s per collective
 K = 41
 BYTES = 4
-# round-5 bench.py measurement (cross-day tunnel variance +-20%,
-# docs/PERF.md round-5 finding 2; override with MPAS_CHIP_RATE)
-CHIP_CELL_LEVELS_PER_S = float(os.environ.get("MPAS_CHIP_RATE", 22.0e6))
+# round-5 XProf device-time rate of the UNALIGNED formulation — the one
+# the sharded step uses (the ownership alignment doesn't survive the
+# per-shard local renumbering; docs/PERF.md round-5 finding 1).  Override
+# with MPAS_CHIP_RATE.
+CHIP_CELL_LEVELS_PER_S = float(os.environ.get("MPAS_CHIP_RATE", 22.3e6))
 
 
 def budget(mesh, S, nl):

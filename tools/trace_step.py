@@ -28,11 +28,13 @@ TRACE_DIR = "/tmp/mpas_trace"
 def main():
     levels = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 41
-    cell_form = (sys.argv[3] != "stencil") if len(sys.argv) > 3 else True
+    mode = sys.argv[3] if len(sys.argv) > 3 else "cell"
+    cell_form = mode not in ("stencil", "orient")
     mesh = generate_and_cache(levels)
     nl = Namelist(config_nvertlevels=K, config_ztop=30000.0, dtype="float32",
                   config_jw_u_perturbation=1.0, config_dt=300.0,
-                  config_cell_form_ops=cell_form)
+                  config_cell_form_ops=cell_form,
+                  config_orient_edges=(mode == "orient"))
     t0 = time.time()
     m = build_model(namelist=nl, mesh=mesh)
     print(f"model built in {time.time()-t0:.0f}s", flush=True)
