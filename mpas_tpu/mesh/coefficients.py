@@ -350,7 +350,10 @@ def compute_reconstruct_coefficients(mesh: Mesh) -> np.ndarray:
     # edge normal direction: cell1 -> cell2, projected tangent at the edge
     d = pc[mesh.cellsOnEdge[:, 1]] - pc[mesh.cellsOnEdge[:, 0]]   # [E, 3]
     d = d - np.einsum("ej,ej->e", d, re)[:, None] * re
-    nhat = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    # the inert pad edges of an ownership-aligned mesh (mesh/orient.py)
+    # have coincident cells (zero direction); their nhat is arbitrary and
+    # never consumed -- guard the norm so they stay finite
+    nhat = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-300)
 
     east, north = _east_north(rc)                                  # [C, 3]
     ne = nhat[mesh.edgesOnCell]                                    # [C, M, 3]
@@ -394,7 +397,10 @@ def compute_reconstruct_coefficients_rbf(mesh: Mesh) -> np.ndarray:
     # edge normal direction: cell1 -> cell2, projected tangent at the edge
     d = pc[mesh.cellsOnEdge[:, 1]] - pc[mesh.cellsOnEdge[:, 0]]   # [E, 3]
     d = d - np.einsum("ej,ej->e", d, re)[:, None] * re
-    nhat = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    # the inert pad edges of an ownership-aligned mesh (mesh/orient.py)
+    # have coincident cells (zero direction); their nhat is arbitrary and
+    # never consumed -- guard the norm so they stay finite
+    nhat = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-300)
 
     eoc = mesh.edgesOnCell
     mask = mesh.edgesOnCell_mask                                   # [C, M]

@@ -1,6 +1,12 @@
 """Micro-probe of the ownership-aligned primitives vs plain gathers at the
-bench shape (C=40962, E=3C, K=41, f32): where did orient_study's 25%
-regression come from?  Differential timing per op chain."""
+bench shape (C=40962, E=3C, K=41, f32).
+
+CAUTIONARY ARTIFACT (docs/PERF.md round-5 finding 1): these isolated
+per-op timings pointed the WRONG way — they miss the fusion benefit that
+makes the aligned formulation win 1.19x in the full program (slice terms
+fuse into elementwise chains; gathers cannot).  Kept as the record of why
+fusion-sensitive changes must be judged by whole-program XProf device
+time, never by op-level microbenchmarks."""
 
 import os
 import sys
