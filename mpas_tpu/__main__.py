@@ -44,6 +44,12 @@ def main(argv=None):
     ap.add_argument("--ztop", type=float, default=None)
     ap.add_argument("--dtype", default=None, choices=["float32", "float64"])
     ap.add_argument("--no-perturbation", action="store_true")
+    ap.add_argument("--orient-edges", action="store_true",
+                    help="ownership-aligned edge numbering (mesh/orient.py)"
+                         " — the recommended single-chip production setting"
+                         " (1.19x step time, docs/PERF.md); edge ids/"
+                         "checkpoints are not interchangeable with the "
+                         "default numbering")
     ap.add_argument("--output", default="timestep_output.nc")
     ap.add_argument("--output-full-3d", action="store_true")
     ap.add_argument("--history-every", type=int, default=0,
@@ -89,6 +95,8 @@ def main(argv=None):
         overrides["dtype"] = args.dtype
     if args.no_perturbation:
         overrides["config_jw_u_perturbation"] = 0.0
+    if args.orient_edges:
+        overrides["config_orient_edges"] = True
     nl = nl.replace(**overrides)
 
     log = (lambda *a: None) if args.quiet else print

@@ -12,11 +12,19 @@ DEMO = os.path.join(os.path.dirname(__file__), os.pardir, "tools",
 
 
 def test_two_process_run_matches_single_device():
-    # bounded by the subprocess timeout below (pytest-timeout not installed)
-    env = dict(os.environ)
-    env.pop("MPAS_MH_PID", None)
-    env["MPAS_MH_PORT"] = "56431"
-    r = subprocess.run([sys.executable, DEMO], env=env, capture_output=True,
-                       text=True, timeout=780)
-    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
-    assert "MULTIHOST OK" in r.stdout
+    # bounded by the subprocess timeout below (pytest-timeout not installed).
+    # One retry on a different coordinator port: under heavy host load (or
+    # with a stale listener on the fixed port) the two-process gloo
+    # coordination can time out without indicating a code defect.
+    last = None
+    for port in ("56431", "56497"):
+        env = dict(os.environ)
+        env.pop("MPAS_MH_PID", None)
+        env["MPAS_MH_PORT"] = port
+        r = subprocess.run([sys.executable, DEMO], env=env,
+                           capture_output=True, text=True, timeout=780)
+        last = r
+        if r.returncode == 0 and "MULTIHOST OK" in r.stdout:
+            return
+    assert last.returncode == 0, last.stdout[-3000:] + last.stderr[-2000:]
+    assert "MULTIHOST OK" in last.stdout
