@@ -251,6 +251,50 @@ class TestResolutionConvergence:
         assert abs(coarse[-1] - fine[-1]) < 3000.0   # Pa
 
 
+PSMIN_MID = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                         "validation", "jw_psmin_10242.npz")
+
+
+@pytest.mark.skipif(not (os.path.exists(PSMIN_MID)
+                         and os.path.exists(PSMIN_PROD)
+                         and os.path.exists(PSMIN_SERIES)),
+                    reason="three-resolution ps_min series not generated")
+class TestThreeResolutionConvergence:
+    """480 / 240 / 120 km trajectories (the x1.10242 15-day run is
+    BASELINE.json config 2): the explosive-phase deepening CONVERGES —
+    240 and 120 km agree within ~10 hPa through day 10 while 480 km is
+    distinctly weaker (measured round 5: day 9 deviations -40.5 / -51.3 /
+    -61.3 hPa at 480/240/120 km)."""
+
+    @pytest.fixture(scope="class")
+    def three(self):
+        out = []
+        for p in (PSMIN_SERIES, PSMIN_MID, PSMIN_PROD):
+            d = np.load(p)
+            ps = d["ps_min"]
+            out.append(ps - ps[0])
+        return out                               # [coarse, mid, fine] devs
+
+    def test_coarse_lags_both_finer(self, three):
+        coarse, mid, fine = three
+        for d in range(8, 12):
+            assert coarse[d] > mid[d] + 500.0, (d, coarse[d], mid[d])
+            assert coarse[d] > fine[d] + 500.0, (d, coarse[d], fine[d])
+
+    def test_mid_and_fine_converged(self, three):
+        """240 vs 120 km agree within 15 hPa on every day through the
+        explosive phase — the two finer trajectories have converged
+        relative to the coarse one."""
+        _, mid, fine = three
+        for d in range(0, 11):
+            assert abs(mid[d] - fine[d]) < 1500.0, (d, mid[d], fine[d])
+
+    def test_all_share_phase_structure(self, three):
+        for dev in three:
+            assert np.abs(dev[:5]).max() < 500.0       # quiet through day 4
+            assert dev[9] < -2000.0                    # explosive by day 9
+
+
 @pytest.mark.skipif(not os.path.exists(DAY15),
                     reason="day-15 artifact not generated")
 class TestDay15:

@@ -1,6 +1,8 @@
 """Physics tests: saturation tables vs known values, radiation support
 kernels, driver sanity."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -272,3 +274,46 @@ class TestColumnBenchmarks:
         atm_abs = (np.asarray(out["qrs"][0]) * cp * dp / g).sum()
         total = (float(out["swup_toa"][0]) + atm_abs + float(out["fsns"][0]))
         assert abs(total / float(out["solin"][0]) - 1.0) < 0.02, total
+
+
+RADRUN = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                      "validation", "jw_radiation_10242.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(RADRUN),
+                    reason="radiation-coupled run artifact not generated")
+class TestRadiationCoupledRun:
+    """BASELINE.json config 4: the full radiation chain (cloud fraction ->
+    cloud optics -> delta-Eddington SW + k-distribution LW) coupled into
+    the moist dycore at x1.10242, hourly cadence
+    (tools/radiation_coupled_run.py, generated on TPU)."""
+
+    @pytest.fixture(scope="class")
+    def art(self):
+        return np.load(RADRUN)
+
+    def test_radiative_heating_active_and_radiative_scale(self, art):
+        """rt_diabatic_tend is nonzero everywhere the driver ran and sits
+        at radiative magnitudes (0.1-100 K/day), not dynamical ones."""
+        rt = art["rt_diabatic_tend"] * 86400.0       # K/day
+        assert np.isfinite(rt).all()
+        assert 0.1 < np.abs(rt).max() < 100.0, np.abs(rt).max()
+        series = art["rt_amp_series"]
+        assert (series > 1e-7).all()                 # every applied interval
+
+    def test_clear_sky_atmosphere_cools_on_net(self, art):
+        """Global-mean net radiative tendency of the troposphere is a
+        COOLING (LW cooling exceeds SW absorption in the global mean) —
+        the basic radiative-convective fact the column benchmarks
+        (docs/VALIDATION.md) pin per-profile."""
+        rt = art["rt_diabatic_tend"] * 86400.0       # [K, C] K/day
+        K = rt.shape[0]
+        tropo = rt[: int(0.6 * K)]
+        assert tropo.mean() < -0.2, tropo.mean()
+        assert tropo.mean() > -5.0
+
+    def test_dynamics_stable_under_coupling(self, art):
+        assert np.isfinite(art["u"]).all() and np.isfinite(art["w"]).all()
+        assert np.abs(art["u"]).max() < 80.0
+        assert np.abs(art["w"]).max() < 1.0
+        assert art["qv"].min() >= -1e-10

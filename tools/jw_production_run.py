@@ -72,14 +72,14 @@ def main():
     print(f"{days} days in {time.time()-t0:.0f} s", flush=True)
 
     os.makedirs(VDIR, exist_ok=True)
-    series = os.path.join(VDIR, "jw_psmin_40962.npz")
+    series = os.path.join(VDIR, f"jw_psmin_{mesh.nCells}.npz")
     np.savez_compressed(series, day=np.arange(days + 1),
                         ps_min=np.array(ps_min), ps_max=np.array(ps_max),
                         n_levels=nl.config_nvertlevels, dt=nl.config_dt,
                         mesh=f"x1.{mesh.nCells}")
     print("saved", series)
 
-    state = os.path.join(VDIR, "jw15_40962.npz")
+    state = os.path.join(VDIR, f"jw15_{mesh.nCells}.npz")
     st = m.state
     np.savez_compressed(
         state,
