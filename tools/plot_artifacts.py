@@ -33,28 +33,30 @@ def _style(ax):
 
 
 def plot_jw15_prod():
-    path = os.path.join(VDIR, "jw15_40962.npz")
-    if not os.path.exists(path):
-        return
-    d = np.load(path)
-    lon = np.degrees(d["lonCell"])
-    lat = np.degrees(d["latCell"])
-    sp = d["surface_pressure"] / 100.0
-    fig, ax = plt.subplots(figsize=(9, 4.5), dpi=150)
-    vmax = max(abs(sp - 1000.0).max(), 1.0)
-    t = ax.tripcolor(lon, lat, sp, cmap="RdBu_r",
-                     vmin=1000.0 - vmax, vmax=1000.0 + vmax)
-    cb = fig.colorbar(t, ax=ax, shrink=0.85, label="surface pressure [hPa]")
-    cb.outline.set_visible(False)
-    ax.set_xlabel("longitude [deg]")
-    ax.set_ylabel("latitude [deg]")
-    ax.set_title("JW baroclinic wave, day 15 — x1.40962 (120 km), 26 levels"
-                 f"  (min {sp.min():.0f} hPa)", fontsize=10)
-    _style(ax)
-    out = os.path.join(VDIR, "jw15_40962_sp.png")
-    fig.tight_layout()
-    fig.savefig(out)
-    print("saved", out)
+    for ncells, dx in ((40962, 120), (10242, 240)):
+        path = os.path.join(VDIR, f"jw15_{ncells}.npz")
+        if not os.path.exists(path):
+            continue
+        d = np.load(path)
+        lon = np.degrees(d["lonCell"])
+        lat = np.degrees(d["latCell"])
+        sp = d["surface_pressure"] / 100.0
+        fig, ax = plt.subplots(figsize=(9, 4.5), dpi=150)
+        vmax = max(abs(sp - 1000.0).max(), 1.0)
+        t = ax.tripcolor(lon, lat, sp, cmap="RdBu_r",
+                         vmin=1000.0 - vmax, vmax=1000.0 + vmax)
+        cb = fig.colorbar(t, ax=ax, shrink=0.85,
+                          label="surface pressure [hPa]")
+        cb.outline.set_visible(False)
+        ax.set_xlabel("longitude [deg]")
+        ax.set_ylabel("latitude [deg]")
+        ax.set_title(f"JW baroclinic wave, day 15 — x1.{ncells} ({dx} km), "
+                     f"26 levels  (min {sp.min():.0f} hPa)", fontsize=10)
+        _style(ax)
+        out = os.path.join(VDIR, f"jw15_{ncells}_sp.png")
+        fig.tight_layout()
+        fig.savefig(out)
+        print("saved", out)
 
 
 def plot_mw_xsection():
