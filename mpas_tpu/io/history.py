@@ -185,7 +185,15 @@ def _restored_updates(path, data, model):
                     f"checkpoint {path} carries field '{f.name}' but the "
                     f"restoring model has it disabled (None) — config "
                     f"mismatch (e.g. a moist checkpoint into a dry model)")
-            updates[f.name] = jnp.asarray(data[f.name], cur.dtype)
+            arr = jnp.asarray(data[f.name], cur.dtype)
+            if arr.shape != cur.shape:
+                raise ValueError(
+                    f"checkpoint {path} field '{f.name}' has shape "
+                    f"{arr.shape} but the restoring model expects "
+                    f"{cur.shape} — mesh/levels mismatch, or the edge "
+                    f"numbering differs (config_orient_edges checkpoints "
+                    f"are not interchangeable with the default numbering)")
+            updates[f.name] = arr
     return updates
 
 

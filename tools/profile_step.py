@@ -1,8 +1,14 @@
 """Component-level timing of one SRK3 step at the bench config.
 
 Times each dycore sub-function as its own jitted program (differential
-method per bench.py: RTT/dispatch overheads cancel between N1 and N2
-repetitions) and multiplies by its per-step invocation count.
+method: RTT/dispatch overheads cancel between N1 and N2 repetitions) and
+multiplies by its per-step invocation count.
+
+CAVEAT (round 5, docs/PERF.md finding 2): the remote backend memoizes
+identical executions, and this tool's repetitions reuse the same inputs —
+absolute numbers may read LOW.  Prefer whole-program XProf device time
+(tools/trace_step.py) for ground truth; use this tool only for relative
+component ordering within one session.
 
 Run on the real TPU: python tools/profile_step.py [nCells]
 """
