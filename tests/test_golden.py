@@ -182,17 +182,23 @@ PSMIN_PROD = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
                           "validation", "jw_psmin_40962.npz")
 
 
+DAY15_MID = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                         "validation", "jw15_10242.npz")
+
+
 @pytest.mark.skipif(not os.path.exists(DAY15_PROD),
                     reason="production-resolution day-15 artifact not generated")
 class TestDay15Production:
-    """BASELINE.json's 'JW wave vs reference at day 15 on x1.40962' clause:
-    the same day-15 checks as TestDay15 at PRODUCTION resolution (120 km,
-    26 levels, dt=300 s, 4320 steps on TPU; tools/jw_production_run.py,
-    artifact docs/validation/jw15_40962.npz)."""
+    """BASELINE.json's 'JW wave vs reference at day 15 on x1.40962' clause
+    (+ the x1.10242 run of config 2): the same day-15 checks as TestDay15
+    at 120 km and 240 km (26 levels, dt=300 s on TPU;
+    tools/jw_production_run.py)."""
 
-    @pytest.fixture(scope="class")
-    def day15(self):
-        return np.load(DAY15_PROD)
+    @pytest.fixture(scope="class",
+                    params=[p for p in (DAY15_PROD, DAY15_MID)
+                            if os.path.exists(p)])
+    def day15(self, request):
+        return np.load(request.param)
 
     def test_wave_has_broken_in_nh(self, day15):
         sp = day15["surface_pressure"]
